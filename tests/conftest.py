@@ -1,0 +1,84 @@
+"""Test configuration.
+
+JAX tests run on a virtual 8-device CPU mesh (multi-chip sharding is validated
+without TPU hardware); set before any jax import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import glob
+import os.path
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_ROOT = "/root/reference"
+TESTDATA = os.path.join(REFERENCE_ROOT, "testdata")
+NATIVE_ORACLE_DIR = os.path.join(
+    REFERENCE_ROOT, "src/main/resources/aircompressor/linux-amd64"
+)
+
+
+def has_testdata() -> bool:
+    return os.path.isdir(TESTDATA)
+
+
+def corpus_files(limit_bytes: int | None = None) -> list[tuple[str, bytes]]:
+    """Small benchmark-corpus sample for correctness tests."""
+    names = [
+        "urls.10K",
+        "html",
+        "geo.protodata",
+        "kppkn.gtb",
+        "canterbury/alice29.txt",
+        "canterbury/xargs.1",
+        "calgary/obj2",
+        "calgary/pic",
+    ]
+    out = []
+    for name in names:
+        path = os.path.join(TESTDATA, name)
+        if os.path.exists(path):
+            data = open(path, "rb").read()
+            if limit_bytes:
+                data = data[:limit_bytes]
+            out.append((name, data))
+    return out
+
+
+def synthetic_cases() -> list[tuple[str, bytes]]:
+    """Synthetic inputs mirroring the reference's in-memory cases
+    (AbstractTestCompression.java:47-56)."""
+    rng = np.random.default_rng(0)
+    return [
+        ("empty", b""),
+        ("one-byte", b"X"),
+        ("short", b"hello world"),
+        ("zeros", bytes(10000)),
+        ("ones-rle", b"\x01" * 4096),
+        ("random-incompressible", rng.integers(0, 256, 65536, dtype=np.uint8).tobytes()),
+        ("repeated-pattern", b"abcdefgh" * 8192),
+        ("small-period", b"ab" * 5000),
+        ("alternating", bytes(bytearray([i & 0xFF for i in range(70000)]))),
+        ("text", (b"The quick brown fox jumps over the lazy dog. " * 2000)),
+    ]
+
+
+@pytest.fixture(scope="session")
+def corpus():
+    if not has_testdata():
+        pytest.skip("reference testdata not available")
+    return corpus_files(limit_bytes=150_000)
+
+
+@pytest.fixture(scope="session")
+def synthetic():
+    return synthetic_cases()

@@ -163,3 +163,21 @@ def test_acceleration_tradeoff():
         )
         assert out == data
     assert sizes[0] <= sizes[1] <= sizes[2]
+
+
+@pytest.mark.skipif(
+    __import__("aircompressor_tpu.native", fromlist=["x"]).is_enabled() is False,
+    reason="native tier not built",
+)
+class TestLz4BlockNative(TestLz4Block):
+    max_len = 1 << 22  # native tier is fast — use full files
+
+    def make_compressor(self):
+        from aircompressor_tpu.lz4 import Lz4NativeCompressor
+
+        return Lz4NativeCompressor()
+
+    def make_decompressor(self):
+        from aircompressor_tpu.lz4 import Lz4NativeDecompressor
+
+        return Lz4NativeDecompressor()

@@ -1,15 +1,38 @@
 """Test configuration.
 
-JAX tests run on a virtual 8-device CPU mesh (multi-chip sharding is validated
-without TPU hardware); set before any jax import.
+Single-device JAX tests run on whatever backend the environment provides
+(real TPU chip under axon, else CPU). Multi-chip sharding tests cannot change
+the platform in-process (the axon sitecustomize pre-imports jax), so they run
+in a SUBPROCESS with a virtual 8-device CPU mesh — see cpu_mesh_env() below
+and tests/test_multichip.py.
 """
 
 import os
+import subprocess
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+def cpu_mesh_env(n_devices: int = 8) -> dict:
+    """Environment for a subprocess with n virtual CPU jax devices."""
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""  # skip axon PJRT registration
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + f" --xla_force_host_platform_device_count={n_devices}"
+    ).strip()
+    return env
+
+
+def run_in_cpu_mesh(code: str, n_devices: int = 8, timeout: int = 600):
+    """Run python code in a virtual-CPU-mesh subprocess; returns CompletedProcess."""
+    return subprocess.run(
+        [sys.executable, "-c", code],
+        env=cpu_mesh_env(n_devices),
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
 
 import glob
 import os.path

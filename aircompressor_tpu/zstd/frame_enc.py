@@ -1,0 +1,286 @@
+"""Zstd frame compression — reference tier.
+
+Parity target (behavior): reference zstd/ZstdFrameCompressor.java:52-378 —
+magic, frame header (content size, single-segment when the full input is the
+window), ≤128KB blocks, literals section (raw/RLE/Huffman with raw fallback),
+sequences section, minimum-gain raw-block fallback, xxhash64-low32 content
+checksum.
+
+Differences by design: match finding is the vectorized pass in block_enc
+(single-segment window = whole input, so matches may reach across block
+boundaries legitimately); repcodes are not emitted (format-valid).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..xxhash import _scalar as xxh
+from . import block_enc, constants as C, huff_enc, seq_enc
+
+MAGIC = C.MAGIC
+
+
+def max_compressed_length(n: int) -> int:
+    # worst case: frame header (14) + per-block 3-byte headers for raw blocks
+    # + checksum (4); mirror the reference's bound shape (n + n>>8 + pad)
+    result = n + (n >> 8)
+    if n < 128 * 1024:
+        result += (128 * 1024 - n) >> 11
+    return result + 22
+
+
+def _write_frame_header(out: bytearray, content_size: int) -> None:
+    # single-segment: window == content; content-size descriptor by size
+    if content_size < 256:
+        fhd = (0 << 6) | 0x20  # FCS code 0 + single-segment flag
+        out.append(fhd | 0x04)  # + checksum flag
+        out.append(content_size)
+    elif content_size < 65536 + 256:
+        fhd = (1 << 6) | 0x20 | 0x04
+        out.append(fhd)
+        out += int(content_size - 256).to_bytes(2, "little")
+    elif content_size < (1 << 32):
+        fhd = (2 << 6) | 0x20 | 0x04
+        out.append(fhd)
+        out += int(content_size).to_bytes(4, "little")
+    else:
+        fhd = (3 << 6) | 0x20 | 0x04
+        out.append(fhd)
+        out += int(content_size).to_bytes(8, "little")
+
+
+def _literals_section(literals: np.ndarray) -> bytes:
+    n = literals.size
+    raw = _raw_literals(literals)
+    if n == 0:
+        return raw
+    first = int(literals[0])
+    if np.all(literals == first):
+        return _rle_literals(first, n)
+    if n < 32:
+        return raw
+    counts = np.bincount(literals, minlength=256)
+    if np.count_nonzero(counts) < 2:
+        return raw
+    ct = huff_enc.build_ctable(counts)
+    est_bits = huff_enc.estimate_compressed_bits(counts, ct)
+    # quick reject: must beat raw with some margin
+    if est_bits // 8 + 16 >= n:
+        return raw
+    table = huff_enc.write_table(ct)
+    single = n < 256
+    try:
+        payload = (
+            huff_enc.encode_single_stream(literals, ct)
+            if single
+            else huff_enc.encode_4_streams(literals, ct)
+        )
+    except ValueError:
+        return raw
+    comp = len(table) + len(payload)
+    regen = n
+    if single:
+        if regen >= 1 << 10 or comp >= 1 << 10:
+            return raw
+        header_len, size_format = 3, 0
+    elif regen < 1 << 10 and comp < 1 << 10:
+        header_len, size_format = 3, 1
+    elif regen < 1 << 14 and comp < 1 << 14:
+        header_len, size_format = 4, 2
+    elif regen < 1 << 18 and comp < 1 << 18:
+        header_len, size_format = 5, 3
+    else:
+        return raw
+    if header_len + comp >= len(raw):
+        return raw
+    out = bytearray()
+    b0 = C.COMPRESSED_LITERALS | (size_format << 2) | ((regen & 0xF) << 4)
+    if header_len == 3:
+        out.append(C.COMPRESSED_LITERALS | (size_format << 2) | ((regen & 0xF) << 4))
+        out.append(((regen >> 4) & 0x3F) | ((comp & 3) << 6))
+        out.append(comp >> 2)
+    elif header_len == 4:
+        out.append(b0)
+        out.append((regen >> 4) & 0xFF)
+        out.append(((regen >> 12) & 3) | ((comp & 0x3F) << 2))
+        out.append(comp >> 6)
+    else:
+        out.append(b0)
+        out.append((regen >> 4) & 0xFF)
+        out.append(((regen >> 12) & 0x3F) | ((comp & 3) << 6))
+        out.append((comp >> 2) & 0xFF)
+        out.append(comp >> 10)
+    return bytes(out) + table + payload
+
+
+def _raw_literals(literals: np.ndarray) -> bytes:
+    n = literals.size
+    out = bytearray()
+    if n <= 31:
+        out.append(C.RAW_LITERALS | (n << 3))
+    elif n <= 4095:
+        out.append(C.RAW_LITERALS | (1 << 2) | ((n & 0xF) << 4))
+        out.append(n >> 4)
+    else:
+        out.append(C.RAW_LITERALS | (3 << 2) | ((n & 0xF) << 4))
+        out.append((n >> 4) & 0xFF)
+        out.append(n >> 12)
+    return bytes(out) + literals.tobytes()
+
+
+def _rle_literals(byte: int, n: int) -> bytes:
+    out = bytearray()
+    if n <= 31:
+        out.append(C.RLE_LITERALS | (n << 3))
+    elif n <= 4095:
+        out.append(C.RLE_LITERALS | (1 << 2) | ((n & 0xF) << 4))
+        out.append(n >> 4)
+    else:
+        out.append(C.RLE_LITERALS | (3 << 2) | ((n & 0xF) << 4))
+        out.append((n >> 4) & 0xFF)
+        out.append(n >> 12)
+    out.append(byte)
+    return bytes(out)
+
+
+def _block_header(last: int, btype: int, size: int) -> bytes:
+    v = last | (btype << 1) | (size << 3)
+    return int(v).to_bytes(3, "little")
+
+
+def compress(src: np.ndarray, dst: np.ndarray, level: int = 3) -> int:
+    """Compress ``src`` into ``dst`` as one zstd frame; returns bytes written.
+
+    ``level`` is accepted for interface parity; this tier implements the
+    default level-3 pipeline only (reference parity:
+    zstd/ZstdCompressor.java:25-43 — Java path supports level 3 only).
+    """
+    n = src.size
+    out = bytearray()
+    out += int(MAGIC).to_bytes(4, "little")
+    _write_frame_header(out, n)
+
+    # sequence production over the WHOLE input (single-segment window),
+    # then blocks are emitted per ≤128KB of regenerated output
+    ll, offsets, ml, literals = block_enc.find_sequences(src)
+    blocks = _partition_blocks(src, ll, offsets, ml, literals)
+    if not blocks:
+        out += _block_header(1, C.RAW_BLOCK, 0)
+    for bi, blk in enumerate(blocks):
+        last = 1 if bi == len(blocks) - 1 else 0
+        out += _encode_block(last, *blk)
+
+    digest = xxh.xxh64(src.tobytes())
+    out += int(digest & 0xFFFFFFFF).to_bytes(4, "little")
+    if dst.size < len(out):
+        raise ValueError("output buffer too small")
+    dst[: len(out)] = np.frombuffer(bytes(out), dtype=np.uint8)
+    return len(out)
+
+
+def compress_bytes(data: bytes, level: int = 3) -> bytes:
+    src = np.frombuffer(data, dtype=np.uint8)
+    dst = np.empty(max_compressed_length(src.size), dtype=np.uint8)
+    n = compress(src, dst, level)
+    return dst[:n].tobytes()
+
+
+MIN_WIRE_MATCH = 3  # smallest match length the sequence format can express
+
+
+def _partition_blocks(src, ll, offsets, ml, literals):
+    """Split the global sequence list into ≤128KB-of-output blocks.
+
+    Returns a list of (block_bytes, ll, of_values, ml, literals) tuples.
+    Sequences that straddle a boundary are split: the literal run can cut
+    anywhere; a match is split into two matches at the same distance (valid
+    because the window is the whole frame), each part ≥ MIN_WIRE_MATCH.
+    """
+    n = src.size
+    if n == 0:
+        return []
+    max_block = C.MAX_BLOCK_SIZE
+    ll = ll.astype(np.int64).copy()
+    ml = ml.astype(np.int64).copy()
+    n_seq = ll.size
+    blocks = []
+    seq_i = 0
+    lit_pos = 0
+    src_pos = 0
+    while src_pos < n:
+        room = min(max_block, n - src_pos)
+        b_ll, b_of, b_ml, b_lit = [], [], [], []
+        b_size = 0
+        while seq_i < n_seq and b_size < room:
+            l, m = int(ll[seq_i]), int(ml[seq_i])
+            if b_size + l + m <= room:
+                b_ll.append(l)
+                b_of.append(int(offsets[seq_i]) + 3)
+                b_ml.append(m)
+                b_lit.append(literals[lit_pos : lit_pos + l])
+                lit_pos += l
+                b_size += l + m
+                seq_i += 1
+                continue
+            # split this sequence at the block boundary
+            lit_take = min(l, room - b_size)
+            if lit_take == room - b_size:
+                # only (part of) the literal run fits
+                b_lit.append(literals[lit_pos : lit_pos + lit_take])
+                lit_pos += lit_take
+                ll[seq_i] -= lit_take
+                b_size += lit_take
+                break
+            part = room - b_size - l
+            if m - part < MIN_WIRE_MATCH:
+                part = m - MIN_WIRE_MATCH
+            if part < MIN_WIRE_MATCH:
+                # cannot place any of the match here; flush literals and close
+                b_lit.append(literals[lit_pos : lit_pos + lit_take])
+                lit_pos += lit_take
+                ll[seq_i] -= lit_take
+                b_size += lit_take
+                break
+            b_ll.append(l)
+            b_of.append(int(offsets[seq_i]) + 3)
+            b_ml.append(part)
+            b_lit.append(literals[lit_pos : lit_pos + l])
+            lit_pos += l
+            ll[seq_i] = 0
+            ml[seq_i] = m - part
+            b_size += l + part
+            break
+        if seq_i >= n_seq and b_size < room:
+            take = room - b_size
+            b_lit.append(literals[lit_pos : lit_pos + take])
+            lit_pos += take
+            b_size += take
+        blk_lits = np.concatenate(b_lit) if b_lit else np.zeros(0, dtype=np.uint8)
+        blocks.append(
+            (
+                src[src_pos : src_pos + b_size],
+                np.array(b_ll, dtype=np.int64),
+                np.array(b_of, dtype=np.int64),
+                np.array(b_ml, dtype=np.int64),
+                blk_lits,
+            )
+        )
+        src_pos += b_size
+        if b_size == 0:
+            raise AssertionError("block made no progress")
+    return blocks
+
+
+def _encode_block(last: int, block: np.ndarray, ll, of_values, ml, literals) -> bytes:
+    n = block.size
+    # RLE block shortcut
+    if n > 0 and np.all(block == block[0]):
+        return _block_header(last, C.RLE_BLOCK, n) + bytes([int(block[0])])
+    lit_sec = _literals_section(literals)
+    seq_sec = seq_enc.compress_sequences(ll, of_values, ml)
+    body = lit_sec + seq_sec
+    # minimum-gain check → raw fallback (reference: ZstdFrameCompressor L245-254)
+    if len(body) + 3 >= n + 3 or len(body) >= n:
+        return _block_header(last, C.RAW_BLOCK, n) + block.tobytes()
+    return _block_header(last, C.COMPRESSED_BLOCK, len(body)) + body

@@ -1,0 +1,161 @@
+"""Zstd sequences-section encoder (RFC 8878 §3.1.1.3.2).
+
+Own implementation. Parity target (behavior only): reference
+zstd/SequenceEncoder.java:66-297 — count header, per-field mode selection
+(PREDEFINED / RLE / FSE_COMPRESSED), interleaved 3-state reverse-order FSE
+encode with extra bits.
+
+Bit order is the exact inverse of frame_dec._decode_and_execute_sequences:
+reader order is [ll_init, of_init, ml_init], then per sequence
+[of_extra, ml_extra, ll_extra] and (except after the last sequence)
+transitions [llT, mlT, ofT] — so the writer appends extras of the LAST
+sequence first, walks backward encoding (of, ml, ll) + appending extras,
+then flushes ml, of, ll states in that order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import constants as C
+from . import fse_enc
+from .bits import BackwardBitWriter
+
+OF_BITS_OF = None  # offset extra bits == code itself
+
+
+def ll_code(ll: np.ndarray) -> np.ndarray:
+    return np.searchsorted(C.LL_BASE, ll, side="right") - 1
+
+
+def ml_code(ml: np.ndarray) -> np.ndarray:
+    return np.searchsorted(C.ML_BASE, ml, side="right") - 1
+
+
+def of_code(of_value: np.ndarray) -> np.ndarray:
+    """offset code = highest bit of the offset VALUE (rep-adjusted)."""
+    v = np.asarray(of_value, dtype=np.int64)
+    return (np.frexp(v.astype(np.float64))[1] - 1).astype(np.int64)
+
+
+def _write_count_header(out: bytearray, n: int) -> None:
+    if n < 128:
+        out.append(n)
+    elif n < 0x7F00:
+        out.append(128 + (n >> 8))
+        out.append(n & 0xFF)
+    else:
+        out.append(255)
+        rest = n - 0x7F00
+        out.append(rest & 0xFF)
+        out.append((rest >> 8) & 0xFF)
+
+
+def _field_cost_bits(counts: np.ndarray, norm: np.ndarray, log: int) -> float:
+    """Approximate encoded bits for counts under a normalized distribution."""
+    p = np.where(norm == -1, 0.5, norm.astype(np.float64))
+    with np.errstate(divide="ignore"):
+        bits = log - np.log2(np.maximum(p, 1e-9))
+    sel = counts[: norm.size] > 0
+    return float(np.sum(counts[: norm.size][sel] * bits[sel]))
+
+
+class _Field:
+    __slots__ = ("mode", "ctable", "rle_symbol", "desc")
+
+    def __init__(self, mode, ctable, rle_symbol=0, desc=b""):
+        self.mode = mode
+        self.ctable = ctable
+        self.rle_symbol = rle_symbol
+        self.desc = desc
+
+
+def _select_field(codes: np.ndarray, max_symbol: int, max_log: int,
+                  default_norm: np.ndarray, default_log: int) -> _Field:
+    counts = np.bincount(codes, minlength=max_symbol + 1)
+    present = np.nonzero(counts)[0]
+    if present.size == 1:
+        ct = fse_enc.build_ctable(
+            _rle_norm(int(present[0]), max_symbol), 0
+        )
+        return _Field(C.SEQ_RLE, ct, rle_symbol=int(present[0]),
+                      desc=bytes([int(present[0])]))
+    total = int(counts.sum())
+    # candidate: FSE-compressed table
+    log = fse_enc.optimal_table_log(max_log, total, int(present[-1]))
+    norm = fse_enc.normalize_counts(counts[: int(present[-1]) + 1], log, total)
+    desc = fse_enc.write_normalized_counts(norm, log)
+    fse_cost = _field_cost_bits(counts, norm, log) + 8 * len(desc)
+    # candidate: predefined
+    pre_cost = np.inf
+    if int(present[-1]) < default_norm.size:
+        pre_cost = _field_cost_bits(counts, default_norm, default_log)
+    if pre_cost <= fse_cost:
+        ct = fse_enc.build_ctable(default_norm.astype(np.int64), default_log)
+        return _Field(C.SEQ_PREDEFINED, ct)
+    ct = fse_enc.build_ctable(norm, log)
+    return _Field(C.SEQ_FSE, ct, desc=desc)
+
+
+def _rle_norm(symbol: int, max_symbol: int) -> np.ndarray:
+    # single-state table: norm for log 0 — handled specially in build_ctable
+    n = np.zeros(symbol + 1, dtype=np.int64)
+    n[symbol] = 1
+    return n
+
+
+def compress_sequences(ll: np.ndarray, of_values: np.ndarray, ml: np.ndarray) -> bytes:
+    """Encode the sequences section. ``of_values`` are wire offset values
+    (rep-adjusted: 1-3 = repcodes, else real_offset+3)."""
+    n = int(ll.size)
+    out = bytearray()
+    _write_count_header(out, n)
+    if n == 0:
+        return bytes(out)
+
+    llc = ll_code(ll.astype(np.int64))
+    mlc = ml_code(ml.astype(np.int64))
+    ofc = of_code(of_values.astype(np.int64))
+
+    f_ll = _select_field(llc, C.MAX_LL_SYMBOL, C.LL_TABLE_LOG_MAX,
+                         C.LL_DEFAULT_NORM, C.LL_DEFAULT_LOG)
+    f_of = _select_field(ofc, C.MAX_OF_SYMBOL, C.OF_TABLE_LOG_MAX,
+                         C.OF_DEFAULT_NORM, C.OF_DEFAULT_LOG)
+    f_ml = _select_field(mlc, C.MAX_ML_SYMBOL, C.ML_TABLE_LOG_MAX,
+                         C.ML_DEFAULT_NORM, C.ML_DEFAULT_LOG)
+
+    modes = (f_ll.mode << 6) | (f_of.mode << 4) | (f_ml.mode << 2)
+    out.append(modes)
+    for f in (f_ll, f_of, f_ml):
+        out += f.desc
+
+    # extra-bit payloads per sequence
+    ll_extra = ll.astype(np.int64) - C.LL_BASE[llc]
+    ll_xbits = C.LL_BITS[llc]
+    ml_extra = ml.astype(np.int64) - C.ML_BASE[mlc]
+    ml_xbits = C.ML_BITS[mlc]
+    of_extra = of_values.astype(np.int64) - (np.int64(1) << ofc)
+    of_xbits = ofc
+
+    w = BackwardBitWriter()
+    enc_ml = fse_enc.FseEncoder(f_ml.ctable)
+    enc_of = fse_enc.FseEncoder(f_of.ctable)
+    enc_ll = fse_enc.FseEncoder(f_ll.ctable)
+    last = n - 1
+    enc_ml.init_state(int(mlc[last]))
+    enc_of.init_state(int(ofc[last]))
+    enc_ll.init_state(int(llc[last]))
+    w.add(int(ll_extra[last]), int(ll_xbits[last]))
+    w.add(int(ml_extra[last]), int(ml_xbits[last]))
+    w.add(int(of_extra[last]), int(of_xbits[last]))
+    for i in range(n - 2, -1, -1):
+        enc_of.encode(w, int(ofc[i]))
+        enc_ml.encode(w, int(mlc[i]))
+        enc_ll.encode(w, int(llc[i]))
+        w.add(int(ll_extra[i]), int(ll_xbits[i]))
+        w.add(int(ml_extra[i]), int(ml_xbits[i]))
+        w.add(int(of_extra[i]), int(of_xbits[i]))
+    enc_ml.flush(w)
+    enc_of.flush(w)
+    enc_ll.flush(w)
+    return bytes(out) + w.close()

@@ -35,6 +35,9 @@ class CodecSuite:
     # max input size for slow reference tiers (tests trim corpus data)
     max_len = 150_000
 
+    # allowed corpus-aggregate size ratio vs the oracle compressor
+    oracle_size_slack = 1.03
+
     # ------------------------------------------------------------------ cases
     def _cases(self, synthetic, corpus):
         for name, data in synthetic + corpus:
@@ -79,7 +82,9 @@ class CodecSuite:
             total_ours += len(c.compress(data))
             total_oracle += len(self.oracle_compress(data))
         # corpus-aggregate ratio must be at-or-below oracle + small slack
-        assert total_ours <= total_oracle * 1.03, (total_ours, total_oracle)
+        assert total_ours <= total_oracle * self.oracle_size_slack, (
+            total_ours, total_oracle,
+        )
 
     def test_small_prefixes(self):
         # all prefixes 0..255 of mixed content

@@ -1,0 +1,87 @@
+"""Zstd compression tests (reference analogues: TestZstd.java via
+AbstractTestCompression + zstd-jni oracle, SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import oracles
+from codec_suite import CodecSuite
+from aircompressor_tpu.zstd import (
+    ZstdCompressor,
+    ZstdDecompressor,
+    ZstdNativeCompressor,
+    ZstdRefCompressor,
+    ZstdRefDecompressor,
+    frame_enc,
+)
+
+
+class TestZstdRef(CodecSuite):
+    max_len = 150_000
+    # the vectorized single-candidate matcher trails libzstd-3 slightly;
+    # tighten as the matcher gains chains/lazy parsing
+    oracle_size_slack = 1.10
+
+    def make_compressor(self):
+        return ZstdRefCompressor()
+
+    def make_decompressor(self):
+        return ZstdRefDecompressor()
+
+    def has_oracle(self):
+        return oracles.zstd_module() is not None or oracles.zstd_lib() is not None
+
+    def oracle_compress(self, data):
+        return oracles.zstd_compress(data, level=3)
+
+    def oracle_decompress(self, comp, orig_len):
+        return oracles.zstd_decompress(comp, orig_len)
+
+
+@pytest.mark.skipif(oracles.zstd_module() is None, reason="zstandard unavailable")
+def test_multi_block_frames(corpus):
+    """Frames over 128KB must emit multiple blocks, decodable by libzstd and
+    by our own decoder (cross-block matches via single-segment window)."""
+    d = ZstdRefDecompressor()
+    for name, data in corpus:
+        data = (data * 4)[:400_000]
+        comp = ZstdRefCompressor().compress(data)
+        assert oracles.zstd_decompress(comp, len(data)) == data, name
+        assert d.decompress(comp, len(data)) == data, name
+
+
+def test_create_prefers_native():
+    c = ZstdCompressor.create()
+    assert isinstance(c, ZstdCompressor)
+    d = ZstdDecompressor.create()
+    data = b"native-tier zstd round trip " * 100
+    assert d.decompress(c.compress(data), len(data)) == data
+
+
+@pytest.mark.skipif(oracles.zstd_module() is None, reason="zstandard unavailable")
+def test_native_tier_levels():
+    try:
+        ZstdNativeCompressor(19)
+    except RuntimeError:
+        pytest.skip("libzstd unavailable")
+    data = open("/root/reference/testdata/html", "rb").read()
+    for level in (1, 3, 19):
+        comp = ZstdNativeCompressor(level).compress(data)
+        assert oracles.zstd_decompress(comp, len(data)) == data
+
+
+def test_rle_block():
+    data = b"\x00" * 300_000
+    comp = ZstdRefCompressor().compress(data)
+    assert len(comp) < 40
+    assert ZstdRefDecompressor().decompress(comp, len(data)) == data
+
+
+def test_content_size_header():
+    for n in (0, 1, 255, 256, 65_000, 66_000, 200_000):
+        data = bytes(np.random.default_rng(n).integers(0, 9, n, dtype=np.uint8))
+        comp = ZstdRefCompressor().compress(data)
+        assert ZstdDecompressor.get_decompressed_size(comp) == n
+        assert ZstdRefDecompressor().decompress(comp, n) == data

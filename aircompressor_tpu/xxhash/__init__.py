@@ -31,4 +31,24 @@ def xxh64(data, seed: int = 0) -> int:
     return _xxh64_scalar(data, seed)
 
 
-__all__ = ["xxh32", "xxh64", "XxHash32State", "XxHash64State"]
+from .xxh3 import (  # noqa: E402 — native-only tier, mirrors XxHash3Native
+    XxHash3Hasher,
+    XxHash3Hasher128,
+    XxHash128,
+    xxh3_64,
+    xxh3_128,
+)
+from .xxh3 import is_enabled as xxh3_is_enabled  # noqa: E402
+
+__all__ = [
+    "xxh32",
+    "xxh64",
+    "XxHash32State",
+    "XxHash64State",
+    "xxh3_64",
+    "xxh3_128",
+    "xxh3_is_enabled",
+    "XxHash3Hasher",
+    "XxHash3Hasher128",
+    "XxHash128",
+]

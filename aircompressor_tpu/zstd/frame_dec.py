@@ -468,3 +468,38 @@ def _decode_and_execute_sequences(src: np.ndarray, lo: int, hi: int,
         dst[op : op + rest] = literals[lit_pos:lit_len]
         op += rest
     return op
+
+
+# ----------------------------------------------------------- incremental API
+def new_frame_context() -> "_FrameContext":
+    """Fresh cross-block state for one frame (incremental decode path,
+    reference: ZstdIncrementalFrameDecompressor's per-frame reset)."""
+    return _FrameContext()
+
+
+def decode_block_into(block_type: int, block_size: int, payload: np.ndarray,
+                      dst: np.ndarray, op: int, frame_base: int,
+                      ctx: "_FrameContext") -> int:
+    """Decode one block whose payload bytes are fully available.
+
+    ``dst[..op]`` holds the frame's decoded history (window); ``frame_base``
+    may be negative when older history has been dropped (its magnitude is the
+    count of dropped bytes). Returns the new ``op``.
+    """
+    if block_type == C.RAW_BLOCK:
+        if op + block_size > dst.size:
+            raise MalformedInputException(0, "output buffer too small")
+        dst[op : op + block_size] = payload[:block_size]
+        return op + block_size
+    if block_type == C.RLE_BLOCK:
+        if block_size > C.MAX_BLOCK_SIZE:
+            raise MalformedInputException(0, "RLE block too large")
+        if op + block_size > dst.size:
+            raise MalformedInputException(0, "output buffer too small")
+        dst[op : op + block_size] = payload[0]
+        return op + block_size
+    if block_type == C.COMPRESSED_BLOCK:
+        if block_size > C.MAX_BLOCK_SIZE:
+            raise MalformedInputException(0, "compressed block exceeds maximum")
+        return _decode_compressed_block(payload, 0, block_size, dst, op, frame_base, ctx)
+    raise MalformedInputException(0, "reserved block type")

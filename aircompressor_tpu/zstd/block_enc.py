@@ -42,39 +42,46 @@ def _u64_windows(block: np.ndarray) -> np.ndarray:
     return w
 
 
-def find_sequences(block: np.ndarray):
-    """Returns (lit_lens, offsets, match_lens, literals) arrays.
+class _PeriodBreaks:
+    """First position ≥ x where data[x] != data[x-d], for d in 1..8.
 
-    Concatenating per sequence [literals run, match] then trailing literals
-    reproduces ``block``. offsets are REAL distances (not wire values).
-    """
-    n = block.size
-    empty = (np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64))
-    if n < MIN_MATCH + TAIL_MARGIN + 8:
-        return (*empty, block.copy())
+    Gives CLOSED-FORM match lengths for overlapping (dist ≤ 8) matches —
+    the pathological case (long runs / tiny periods) that would otherwise
+    cost O(run_length) extension rounds."""
 
-    w8 = _u64_windows(block)
-    limit = n - TAIL_MARGIN  # last position allowed to start a match
-    w5 = w8[:limit] & np.uint64(0xFFFFFFFFFF)
-    h = (w5 * np.uint64(0x9E3779B185EBCA87)) >> np.uint64(64 - HASH_LOG)
+    def __init__(self, block: np.ndarray):
+        n = block.size
+        idx = np.arange(n, dtype=np.int64)
+        self.next_break = {}
+        for d in range(1, 9):
+            brk = np.full(n, n, dtype=np.int64)
+            neq = block[d:] != block[:-d]
+            b = np.where(neq, idx[d:], n)
+            # suffix minimum → first break at or after x
+            brk[d:] = np.minimum.accumulate(b[::-1])[::-1]
+            brk[:d] = brk[d] if n > d else n
+            self.next_break[d] = brk
 
-    order = np.argsort(h, kind="stable")
-    prev = np.full(limit, -1, dtype=np.int64)
-    same = h[order[1:]] == h[order[:-1]]
-    prev[order[1:][same]] = order[:-1][same]
 
-    pos = np.nonzero(prev >= 0)[0]
-    cand = prev[pos]
-    # verify a real 4-byte match (hash collisions)
-    m4 = (w8[pos] & np.uint64(0xFFFFFFFF)) == (w8[cand] & np.uint64(0xFFFFFFFF))
-    pos, cand = pos[m4], cand[m4]
-    if pos.size == 0:
-        return (*empty, block.copy())
-
-    # vectorized match-length: extend by whole 8-byte words, then tail bytes
+def _match_lengths(w8: np.ndarray, pos: np.ndarray, cand: np.ndarray, n: int,
+                   breaks: "_PeriodBreaks") -> np.ndarray:
+    """Vectorized common-prefix lengths: closed form for dist ≤ 8, 8-byte
+    word extension rounds for the rest (total work ∝ Σ match length / 8)."""
     mlen = np.zeros(pos.size, dtype=np.int64)
-    active = np.ones(pos.size, dtype=bool)
+    dist = pos - cand
     hard_cap = np.minimum(np.int64(n - 8) - pos, MAX_MATCH_CAP)
+
+    small = dist <= 8
+    if np.any(small):
+        si = np.nonzero(small)[0]
+        m = np.zeros(si.size, dtype=np.int64)
+        for d in range(1, 9):
+            dd = dist[si] == d
+            if np.any(dd):
+                m[dd] = breaks.next_break[d][pos[si[dd]]] - pos[si[dd]]
+        mlen[si] = np.minimum(np.maximum(m, 0), hard_cap[si])
+
+    active = ~small
     while np.any(active):
         ai = np.nonzero(active)[0]
         p = pos[ai] + mlen[ai]
@@ -93,8 +100,63 @@ def find_sequences(block: np.ndarray):
                 add += still.astype(np.int64)
             mlen[done] += np.minimum(add, np.maximum(hard_cap[done] - mlen[done], 0))
             active[done] = False
-    ok = mlen >= MIN_MATCH
-    pos, cand, mlen = pos[ok], cand[ok], mlen[ok]
+    return mlen
+
+
+def find_sequences(block: np.ndarray):
+    """Returns (lit_lens, offsets, match_lens, literals) arrays.
+
+    Concatenating per sequence [literals run, match] then trailing literals
+    reproduces ``block``. offsets are REAL distances (not wire values).
+    """
+    n = block.size
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64))
+    if n < MIN_MATCH + TAIL_MARGIN + 8:
+        return (*empty, block.copy())
+
+    w8 = _u64_windows(block)
+    limit = n - TAIL_MARGIN  # last position allowed to start a match
+
+    # dfast-style two hash lengths (reference: DoubleFastBlockCompressor's
+    # long/short tables) + a second-previous candidate for chain depth 2
+    w5 = w8[:limit] & np.uint64(0xFFFFFFFFFF)
+    h5 = (w5 * np.uint64(0x9E3779B185EBCA87)) >> np.uint64(64 - HASH_LOG)
+    h8 = (w8[:limit] * np.uint64(0xCF1BBCDCB7A56463)) >> np.uint64(64 - HASH_LOG)
+    cands = []
+    for h, depth2 in ((h5, True), (h8, False)):
+        order = np.argsort(h, kind="stable")
+        prev = np.full(limit, -1, dtype=np.int64)
+        same = h[order[1:]] == h[order[:-1]]
+        prev[order[1:][same]] = order[:-1][same]
+        cands.append(prev)
+        if depth2:
+            prev2 = np.full(limit, -1, dtype=np.int64)
+            same2 = same[1:] & same[:-1]
+            prev2[order[2:][same2]] = order[:-2][same2]
+            cands.append(prev2)
+
+    breaks = _PeriodBreaks(block)
+    best_len = np.zeros(limit, dtype=np.int64)
+    best_cand = np.full(limit, -1, dtype=np.int64)
+    for prev in cands:
+        pos_c = np.nonzero(prev >= 0)[0]
+        cand_c = prev[pos_c]
+        m4 = (w8[pos_c] & np.uint64(0xFFFFFFFF)) == (w8[cand_c] & np.uint64(0xFFFFFFFF))
+        pos_c, cand_c = pos_c[m4], cand_c[m4]
+        if pos_c.size == 0:
+            continue
+        mlen_c = _match_lengths(w8, pos_c, cand_c, n, breaks)
+        better = (mlen_c > best_len[pos_c]) | (
+            (mlen_c == best_len[pos_c]) & (pos_c - cand_c < pos_c - best_cand[pos_c])
+        )
+        upd = pos_c[better]
+        best_len[upd] = mlen_c[better]
+        best_cand[upd] = cand_c[better]
+
+    sel = best_len >= MIN_MATCH
+    pos = np.nonzero(sel)[0]
+    cand = best_cand[pos]
+    mlen = best_len[pos]
     if pos.size == 0:
         return (*empty, block.copy())
 

@@ -20,9 +20,8 @@ from aircompressor_tpu.zstd import (
 
 class TestZstdRef(CodecSuite):
     max_len = 150_000
-    # the vectorized single-candidate matcher trails libzstd-3 slightly;
-    # tighten as the matcher gains chains/lazy parsing
-    oracle_size_slack = 1.10
+    # dual-hash matcher beats libzstd-3 in aggregate; per-file variance only
+    oracle_size_slack = 1.03
 
     def make_compressor(self):
         return ZstdRefCompressor()

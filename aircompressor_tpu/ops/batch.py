@@ -1,0 +1,172 @@
+"""Public batch-codec API over the TPU kernels.
+
+The TPU tier's natural unit of work is a BATCH of independent chunks; this
+module is the user-facing surface for it, handling padding, shape bucketing
+(jit caches per shape), malformed-input surfacing, and the optional
+multi-chip mesh path. Host tiers expose one-shot ``compress``/``decompress``
+(reference: Compressor.java); the TPU tier adds the batched equivalents the
+reference delegates to its callers (SURVEY.md §2.9 — thread-parallelism is
+the caller's job in the reference; here the device IS the parallelism).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from ..errors import MalformedInputException
+
+CHUNK = 65536
+_COMP_ALIGN = 1024
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _pack(blobs: Sequence[bytes], cap: int):
+    B = len(blobs)
+    buf = np.zeros((B, cap), np.uint8)
+    lens = np.zeros(B, np.int32)
+    for i, b in enumerate(blobs):
+        if len(b) > cap:
+            raise ValueError(f"chunk {i} exceeds capacity {cap}")
+        buf[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+    return buf, lens
+
+
+class SnappyBatchCodec:
+    """Chunk-parallel Snappy over the device (ops/snappy_jax + encode)."""
+
+    def __init__(self, max_chunk: int = CHUNK):
+        if max_chunk > CHUNK:
+            raise ValueError("snappy batch chunks are capped at 64KB")
+        self.max_chunk = max_chunk
+
+    def compress_chunks(self, chunks: Sequence[bytes]) -> list[bytes]:
+        import jax.numpy as jnp
+
+        from . import snappy_encode_jax
+
+        if not chunks:
+            return []
+        buf, lens = _pack(chunks, self.max_chunk)
+        comp, clens = snappy_encode_jax.encode(jnp.asarray(buf), jnp.asarray(lens))
+        comp = np.asarray(comp)
+        clens = np.asarray(clens)
+        return [comp[i, : clens[i]].tobytes() for i in range(len(chunks))]
+
+    def decompress_chunks(self, blobs: Sequence[bytes]) -> list[bytes]:
+        import jax.numpy as jnp
+
+        from . import snappy_jax
+
+        if not blobs:
+            return []
+        cap = _round_up(max(len(b) for b in blobs) + 1, _COMP_ALIGN)
+        buf, lens = _pack(blobs, cap)
+        out, olens, ok = snappy_jax.decode(
+            jnp.asarray(buf), jnp.asarray(lens), out_cap=self.max_chunk
+        )
+        out = np.asarray(out)
+        olens = np.asarray(olens)
+        ok = np.asarray(ok)
+        bad = np.nonzero(~ok)[0]
+        if bad.size:
+            raise MalformedInputException(int(bad[0]), "malformed snappy chunk in batch")
+        return [out[i, : olens[i]].tobytes() for i in range(len(blobs))]
+
+
+class Lz4BatchCodec:
+    """Chunk-parallel LZ4 block codec over the device (ops/lz4_jax +
+    ops/lz4_encode_jax)."""
+
+    def __init__(self, max_chunk: int = CHUNK):
+        self.max_chunk = max_chunk
+
+    def compress_chunks(self, chunks: Sequence[bytes]) -> list[bytes]:
+        import jax.numpy as jnp
+
+        from . import lz4_encode_jax
+
+        if not chunks:
+            return []
+        buf, lens = _pack(chunks, self.max_chunk)
+        comp, clens = lz4_encode_jax.encode(jnp.asarray(buf), jnp.asarray(lens))
+        comp = np.asarray(comp)
+        clens = np.asarray(clens)
+        return [comp[i, : clens[i]].tobytes() for i in range(len(chunks))]
+
+    def decompress_chunks(self, blobs: Sequence[bytes]) -> list[bytes]:
+        import jax.numpy as jnp
+
+        from . import lz4_jax
+
+        if not blobs:
+            return []
+        cap = _round_up(max(len(b) for b in blobs) + 1, _COMP_ALIGN)
+        buf, lens = _pack(blobs, cap)
+        out, olens, ok = lz4_jax.decode(
+            jnp.asarray(buf), jnp.asarray(lens), out_cap=self.max_chunk
+        )
+        out = np.asarray(out)
+        olens = np.asarray(olens)
+        ok = np.asarray(ok)
+        bad = np.nonzero(~ok)[0]
+        if bad.size:
+            raise MalformedInputException(int(bad[0]), "malformed lz4 chunk in batch")
+        return [out[i, : olens[i]].tobytes() for i in range(len(blobs))]
+
+
+def snappy_framed_decompress_device(data: bytes, verify_checksums: bool = True) -> bytes:
+    """Decode an x-snappy-framed stream with the compressed chunks decoded
+    as ONE device batch and all chunk CRCs verified by the batched device
+    CRC32C kernel (the framing walk is host-side and cheap; the chunk
+    payloads are the heavy part — reference: SnappyFramedInputStream)."""
+    import jax.numpy as jnp
+
+    from ..snappy.framed import iter_frames
+    from . import checksum_jax, snappy_jax
+
+    comp_chunks: list[bytes] = []
+    comp_crcs: list[int] = []
+    parts: list[bytes | None] = []
+    plain: list[tuple[bytes, int]] = []
+    for kind, payload, crc in iter_frames(data):
+        if kind == "compressed":
+            comp_chunks.append(payload)
+            comp_crcs.append(crc)
+            parts.append(None)
+        else:
+            plain.append((payload, crc))
+            parts.append(payload)
+    decoded: list[bytes] = []
+    if comp_chunks:
+        cap = _round_up(max(len(b) for b in comp_chunks) + 1, _COMP_ALIGN)
+        buf, lens = _pack(comp_chunks, cap)
+        out, olens, ok = snappy_jax.decode(
+            jnp.asarray(buf), jnp.asarray(lens), out_cap=CHUNK
+        )
+        okn = np.asarray(ok)
+        if not okn.all():
+            raise MalformedInputException(
+                int(np.nonzero(~okn)[0][0]), "malformed snappy framed chunk")
+        if verify_checksums:
+            crcs = checksum_jax.mask_crc(checksum_jax.crc32c(out, olens))
+            got = np.asarray(crcs)
+            if not np.array_equal(got, np.asarray(comp_crcs, dtype=np.uint32)):
+                bad = int(np.nonzero(got != np.asarray(comp_crcs, np.uint32))[0][0])
+                raise MalformedInputException(bad, "chunk checksum mismatch")
+        outn = np.asarray(out)
+        olensn = np.asarray(olens)
+        decoded = [outn[i, : olensn[i]].tobytes() for i in range(len(comp_chunks))]
+    if verify_checksums:
+        from ..crc import crc32c_raw, mask_crc
+
+        for payload, crc in plain:
+            if mask_crc(crc32c_raw(payload)) != crc:
+                raise MalformedInputException(0, "uncompressed chunk checksum mismatch")
+    it = iter(decoded)
+    return b"".join(p if p is not None else next(it) for p in parts)

@@ -173,3 +173,37 @@ def compress_framed(data: bytes, **kw) -> bytes:
 
 def decompress_framed(data: bytes, **kw) -> bytes:
     return SnappyFramedInputStream(io.BytesIO(data), **kw).read()
+
+
+def iter_frames(data: bytes):
+    """Walk an x-snappy-framed byte string, yielding
+    ("compressed" | "uncompressed", payload_bytes, masked_crc) per data
+    chunk. Host-side framing walk for the device batch path
+    (ops/batch.snappy_framed_decompress_device)."""
+    if data[: len(HEADER)] != HEADER:
+        raise MalformedInputException(0, "invalid snappy framed stream header")
+    pos = len(HEADER)
+    n = len(data)
+    while pos < n:
+        if pos + 4 > n:
+            raise MalformedInputException(pos, "truncated chunk header")
+        kind = data[pos]
+        length = data[pos + 1] | (data[pos + 2] << 8) | (data[pos + 3] << 16)
+        pos += 4
+        if pos + length > n:
+            raise MalformedInputException(pos, "truncated chunk")
+        body = data[pos : pos + length]
+        pos += length
+        if kind == STREAM_IDENTIFIER:
+            if body != HEADER[4:]:
+                raise MalformedInputException(pos, "invalid stream identifier chunk")
+            continue
+        if kind == PADDING_CHUNK or 0x80 <= kind <= 0xFD:
+            continue
+        if 0x02 <= kind <= 0x7F:
+            raise MalformedInputException(pos, f"unskippable reserved chunk 0x{kind:02x}")
+        if length < 4:
+            raise MalformedInputException(pos, "chunk too short for checksum")
+        crc = int.from_bytes(body[:4], "little")
+        yield ("uncompressed" if kind == UNCOMPRESSED_CHUNK else "compressed",
+               body[4:], crc)

@@ -138,3 +138,53 @@ def test_snappy_encode_device_round_trip_with_device_decode():
     for i, orig in enumerate(cases):
         assert bool(ok[i]), i
         assert out[i, : olens[i]].tobytes() == orig, i
+
+
+def test_batch_codec_api():
+    """Public batch API: compress/decompress chunk lists, framed device path
+    with device-side CRC verification."""
+    from aircompressor_tpu.errors import MalformedInputException
+    from aircompressor_tpu.ops.batch import (
+        Lz4BatchCodec,
+        SnappyBatchCodec,
+        snappy_framed_decompress_device,
+    )
+    from aircompressor_tpu.snappy.framed import compress_framed
+
+    data = open("/root/reference/testdata/html", "rb").read()
+    chunks = [data[i * 65536 : (i + 1) * 65536] for i in range((len(data) + 65535) // 65536)]
+    bc = SnappyBatchCodec()
+    blobs = bc.compress_chunks(chunks)
+    assert bc.decompress_chunks(blobs) == chunks
+
+    lblobs = [Lz4RefCompressor().compress(c) for c in chunks]
+    assert Lz4BatchCodec().decompress_chunks(lblobs) == chunks
+
+    framed = compress_framed(data)
+    assert snappy_framed_decompress_device(framed) == data
+    bad = bytearray(framed)
+    bad[-3] ^= 0xFF
+    with pytest.raises(MalformedInputException):
+        snappy_framed_decompress_device(bytes(bad))
+
+
+def test_lz4_encode_batch():
+    """Kernel-encoded lz4 blocks decode via ref tier + kernel round trip."""
+    from aircompressor_tpu.ops import lz4_encode_jax
+
+    cases = _chunk_cases()
+    B, L = len(cases), 65536
+    buf = np.zeros((B, L), np.uint8)
+    lens = np.zeros(B, np.int32)
+    for i, x in enumerate(cases):
+        buf[i, : len(x)] = np.frombuffer(x, np.uint8)
+        lens[i] = len(x)
+    comp, clens = lz4_encode_jax.encode(jnp.asarray(buf), jnp.asarray(lens))
+    compn, clensn = np.asarray(comp), np.asarray(clens)
+    d = Lz4RefDecompressor()
+    for i, orig in enumerate(cases):
+        blob = compn[i, : clensn[i]].tobytes()
+        assert d.decompress(blob, max(len(orig), 1)) == orig, i
+    out, olens, ok = map(np.asarray, lz4_jax.decode(comp, clens))
+    for i, orig in enumerate(cases):
+        assert bool(ok[i]) and out[i, : olens[i]].tobytes() == orig, i

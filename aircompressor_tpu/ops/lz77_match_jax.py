@@ -117,7 +117,9 @@ def greedy_matches(d, lengths, max_match: int):
     def step(p, _):
         return _row_gather(J64, p[:, None])[:, 0], p
 
-    _, anchors = jax.lax.scan(step, jnp.zeros((B,), I32), None, length=S)
+    # derive the init from the inputs so the carry inherits sharding/varying
+    # status under shard_map (the *0 fuses away)
+    _, anchors = jax.lax.scan(step, lengths * 0, None, length=S)
     toks = anchors
     for tbl in reversed(tables):
         mid = jnp.take_along_axis(tbl, toks.T, axis=1).T

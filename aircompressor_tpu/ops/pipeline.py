@@ -3,29 +3,35 @@
 The framework's unit of device work is a BATCH of independent chunks
 (padded (B, L) uint8 + lengths) — the formats' own restart boundaries
 (SURVEY.md §2.9). This module assembles the per-chunk kernels into jittable
-pipelines and shards them data-parallel over a ``jax.sharding.Mesh``:
-chunks are split along the batch axis ("dp"), per-chunk results are computed
-locally, and scalar accounting rides ``psum`` — the TPU-native counterpart of
-the reference's caller-side thread parallelism (reference:
-lz4/Lz4JavaCompressor.java:27-29 "not thread-safe", parallelism is the
-caller's job).
+pipelines and shards them data-parallel over a ``jax.sharding.Mesh``: chunks
+split along the batch axis ("dp"), per-chunk results stay sharded, scalar
+accounting rides ``psum``, and ordered frame assembly falls out of the
+output sharding (the global (B, ·) array keeps batch order). This is the
+TPU-native counterpart of the reference's caller-side thread parallelism
+(reference: lz4/Lz4JavaCompressor.java:27-29 — "not thread-safe",
+parallelism is the caller's job).
 """
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from . import checksum_jax, xxhash_jax
+from . import checksum_jax, lz4_jax, snappy_encode_jax, snappy_jax, xxhash_jax
 
 
+def make_mesh(devices=None, axis: str = "dp") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+# --------------------------------------------------------------- single chip
 def checksum_step(data, lengths):
-    """Per-batch checksum pipeline: xxh64 (zstd frames), xxh32 (lz4 frames),
-    masked crc32c (snappy framing) over B chunks at once."""
+    """Batched checksums: xxh64 (zstd frames), xxh32 (lz4 frames), masked
+    crc32c (snappy framing)."""
     hi, lo = xxhash_jax.xxh64(data, lengths)
     h32 = xxhash_jax.xxh32(data, lengths)
     crc = checksum_jax.mask_crc(checksum_jax.crc32c(data, lengths))
@@ -33,17 +39,16 @@ def checksum_step(data, lengths):
     return {"xxh64_hi": hi, "xxh64_lo": lo, "xxh32": h32, "crc32c": crc, "bytes": total}
 
 
-def make_mesh(devices=None, axis: str = "dp") -> Mesh:
-    import numpy as np
+def snappy_roundtrip_step(data, lengths, out_cap: int):
+    """Compress + decompress + verify — the full codec pipeline on device."""
+    comp, clens = snappy_encode_jax.encode(data, lengths)
+    out, olens, ok = snappy_jax.decode(comp, clens, out_cap=out_cap)
+    crc = checksum_jax.mask_crc(checksum_jax.crc32c(out, olens))
+    return comp, clens, out, olens, ok, crc
 
-    devices = devices if devices is not None else jax.devices()
-    return Mesh(np.asarray(devices), (axis,))
 
-
+# ---------------------------------------------------------------- multi chip
 def sharded_checksum_step(mesh: Mesh):
-    """Data-parallel checksum step over the mesh: batch sharded on "dp",
-    per-chunk outputs stay sharded, byte-count is psum-reduced."""
-
     def step(data, lengths):
         out = checksum_step(data, lengths)
         out["bytes"] = jax.lax.psum(out["bytes"], "dp")
@@ -54,10 +59,45 @@ def sharded_checksum_step(mesh: Mesh):
         mesh=mesh,
         in_specs=(P("dp", None), P("dp")),
         out_specs={
-            "xxh64_hi": P("dp"),
-            "xxh64_lo": P("dp"),
-            "xxh32": P("dp"),
-            "crc32c": P("dp"),
-            "bytes": P(),
+            "xxh64_hi": P("dp"), "xxh64_lo": P("dp"), "xxh32": P("dp"),
+            "crc32c": P("dp"), "bytes": P(),
         },
     )
+
+
+def sharded_compress(mesh: Mesh, out_cap: int | None = None):
+    """Data-parallel snappy compress over the mesh. The returned global
+    (B, cap) array preserves batch order — frame assembly is a host-side
+    slice per row (the "ordered all-gather" of SURVEY.md §5.8 realized by
+    the output sharding)."""
+
+    def step(data, lengths):
+        comp, clens = snappy_encode_jax.encode(data, lengths, out_cap=out_cap)
+        total = jax.lax.psum(jnp.sum(clens), "dp")
+        return comp, clens, total
+
+    return shard_map(
+        step, mesh=mesh,
+        in_specs=(P("dp", None), P("dp")),
+        out_specs=(P("dp", None), P("dp"), P()),
+    )
+
+
+def sharded_decompress(mesh: Mesh, out_cap: int = 65536):
+    def step(comp, clens):
+        out, olens, ok = snappy_jax.decode(comp, clens, out_cap=out_cap)
+        total = jax.lax.psum(jnp.sum(olens), "dp")
+        return out, olens, ok, total
+
+    return shard_map(
+        step, mesh=mesh,
+        in_specs=(P("dp", None), P("dp")),
+        out_specs=(P("dp", None), P("dp"), P("dp"), P()),
+    )
+
+
+def assemble_frames(comp, clens) -> list[bytes]:
+    """Host-side exact assembly of per-chunk compressed payloads, in order."""
+    compn = np.asarray(comp)
+    clensn = np.asarray(clens)
+    return [compn[i, : clensn[i]].tobytes() for i in range(compn.shape[0])]

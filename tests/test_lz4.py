@@ -181,3 +181,58 @@ class TestLz4BlockNative(TestLz4Block):
         from aircompressor_tpu.lz4 import Lz4NativeDecompressor
 
         return Lz4NativeDecompressor()
+
+
+# ------------------------------------------------------------ frame streams
+class TestLz4FrameStreams:
+    """File-like LZ4 frame streams (lz4/streams.py) interop with the
+    one-shot frame codec and validation paths."""
+
+    def _data(self):
+        return open("/root/reference/testdata/urls.10K", "rb").read()
+
+    def test_stream_writer_one_shot_reader(self):
+        from aircompressor_tpu.lz4.frame_codec import Lz4FrameDecompressor
+        from aircompressor_tpu.lz4.streams import compress_stream
+
+        data = self._data()
+        blob = compress_stream(data, block_max_id=4, block_checksums=True)
+        assert Lz4FrameDecompressor().decompress(blob, len(data)) == data
+
+    def test_one_shot_writer_stream_reader(self):
+        from aircompressor_tpu.lz4.frame_codec import Lz4FrameCompressor
+        from aircompressor_tpu.lz4.streams import decompress_stream
+
+        data = self._data()
+        blob = Lz4FrameCompressor.create(
+            content_checksum=True, content_size=True
+        ).compress(data)
+        assert decompress_stream(blob) == data
+
+    def test_partial_reads_and_concatenated_frames(self):
+        import io
+
+        from aircompressor_tpu.lz4.streams import (
+            Lz4FrameInputStream,
+            compress_stream,
+        )
+
+        a, b = b"first frame " * 500, b"second frame " * 700
+        blob = compress_stream(a) + compress_stream(b)
+        s = Lz4FrameInputStream(io.BytesIO(blob))
+        out = bytearray()
+        while True:
+            c = s.read(997)
+            if not c:
+                break
+            out += c
+        assert bytes(out) == a + b
+
+    def test_block_checksum_corruption_rejected(self):
+        from aircompressor_tpu.lz4.streams import compress_stream, decompress_stream
+
+        data = self._data()
+        blob = bytearray(compress_stream(data, block_checksums=True))
+        blob[20] ^= 0xFF
+        with pytest.raises(MalformedInputException):
+            decompress_stream(bytes(blob))

@@ -167,9 +167,10 @@ def compress(src: np.ndarray, dst: np.ndarray, level: int = 3) -> int:
     blocks = _partition_blocks(src, ll, offsets, ml, literals)
     if not blocks:
         out += _block_header(1, C.RAW_BLOCK, 0)
+    rep = list(C.REP_INIT)
     for bi, blk in enumerate(blocks):
         last = 1 if bi == len(blocks) - 1 else 0
-        out += _encode_block(last, *blk)
+        out += _encode_block(last, *blk, rep)
 
     digest = xxh.xxh64(src.tobytes())
     out += int(digest & 0xFFFFFFFF).to_bytes(4, "little")
@@ -272,15 +273,58 @@ def _partition_blocks(src, ll, offsets, ml, literals):
     return blocks
 
 
-def _encode_block(last: int, block: np.ndarray, ll, of_values, ml, literals) -> bytes:
+def _apply_repcodes(ll, of_values, rep):
+    """Convert wire offset values (real+3) to repcode form where possible,
+    mirroring the decoder's repeated-offset semantics exactly (reference:
+    ZstdFrameDecompressor L416-450; decoder mirror: frame_dec
+    _decode_and_execute_sequences). Mutates ``rep`` (len-3 list) in place;
+    returns the new offset-value array."""
+    out = of_values.copy()
+    for i in range(of_values.size):
+        o = int(of_values[i]) - 3
+        l = int(ll[i])
+        if l > 0:
+            if o == rep[0]:
+                out[i] = 1
+                continue
+            if o == rep[1]:
+                out[i] = 2
+                rep[0], rep[1] = rep[1], rep[0]
+                continue
+            if o == rep[2]:
+                out[i] = 3
+                rep[0], rep[1], rep[2] = rep[2], rep[0], rep[1]
+                continue
+        else:
+            if o == rep[1]:
+                out[i] = 1
+                rep[0], rep[1] = rep[1], rep[0]
+                continue
+            if o == rep[2]:
+                out[i] = 2
+                rep[0], rep[1], rep[2] = rep[2], rep[0], rep[1]
+                continue
+            if o == rep[0] - 1 and o > 0:
+                out[i] = 3
+                rep[0], rep[1], rep[2] = o, rep[0], rep[1]
+                continue
+        rep[0], rep[1], rep[2] = o, rep[0], rep[1]
+    return out
+
+
+def _encode_block(last: int, block: np.ndarray, ll, of_values, ml, literals,
+                  rep) -> bytes:
     n = block.size
     # RLE block shortcut
     if n > 0 and np.all(block == block[0]):
         return _block_header(last, C.RLE_BLOCK, n) + bytes([int(block[0])])
+    rep_before = list(rep)
+    of_wire = _apply_repcodes(ll, of_values, rep)
     lit_sec = _literals_section(literals)
-    seq_sec = seq_enc.compress_sequences(ll, of_values, ml)
+    seq_sec = seq_enc.compress_sequences(ll, of_wire, ml)
     body = lit_sec + seq_sec
     # minimum-gain check → raw fallback (reference: ZstdFrameCompressor L245-254)
     if len(body) + 3 >= n + 3 or len(body) >= n:
+        rep[:] = rep_before  # raw block leaves decoder rep state untouched
         return _block_header(last, C.RAW_BLOCK, n) + block.tobytes()
     return _block_header(last, C.COMPRESSED_BLOCK, len(body)) + body

@@ -19,3 +19,14 @@ __all__ = [
     "IncompatiblePlatformException",
     "MalformedInputException",
 ]
+
+
+def __getattr__(name):
+    """Lazy codec-family access: aircompressor_tpu.lz4 / snappy / zstd /
+    lzo / bzip2 / deflate / gzip / xxhash / crc / hadoop / ops / native."""
+    import importlib
+
+    if name in ("lz4", "snappy", "zstd", "lzo", "bzip2", "deflate", "gzip",
+                "xxhash", "crc", "hadoop", "ops", "native"):
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(name)

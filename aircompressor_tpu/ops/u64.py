@@ -11,15 +11,18 @@ limbs plus shifts/adds.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 U32 = jnp.uint32
-MASK16 = jnp.uint32(0xFFFF)
+# numpy scalars (not jnp) so kernels can use them without constant capture
+MASK16 = np.uint32(0xFFFF)
 
 
 def const(v: int):
-    """Lift a Python int to a scalar U64 pair."""
-    return jnp.uint32((v >> 32) & 0xFFFFFFFF), jnp.uint32(v & 0xFFFFFFFF)
+    """Lift a Python int to a scalar U64 pair (numpy scalars: usable both in
+    regular jnp code and inside Pallas kernels)."""
+    return np.uint32((v >> 32) & 0xFFFFFFFF), np.uint32(v & 0xFFFFFFFF)
 
 
 def add(a, b):

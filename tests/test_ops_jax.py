@@ -62,3 +62,24 @@ def test_crc32c_batched(batch):
         raw = data[i, :n].tobytes()
         assert int(got[i]) == host_crc.crc32c_raw(raw), (i, n)
         assert int(masked[i]) == host_crc.masked_crc32c(raw), (i, n)
+
+
+def test_xxh64_pallas_kernel():
+    """The Pallas stripe kernel (single-launch batched xxh64) is bit-exact
+    vs the XSUM-validated scalar tier (interpret mode off-TPU)."""
+    import jax
+
+    from aircompressor_tpu.ops import xxhash_pallas
+
+    rng = np.random.default_rng(7)
+    B, L = 128, 512
+    data = rng.integers(0, 256, (B, L), dtype=np.uint8)
+    lens_list = (list(range(0, 48)) + [63, 64, 65, 100, 255, 256, 257, L]) * 4
+    lengths = np.array([min(L, v) for v in lens_list[:B]], dtype=np.int32)
+    for i, n in enumerate(lengths):
+        data[i, n:] = 0
+    hi, lo = xxhash_pallas.xxh64(jnp.asarray(data), jnp.asarray(lengths))
+    hi, lo = np.asarray(hi), np.asarray(lo)
+    for i, n in enumerate(lengths):
+        expected = _scalar.xxh64(data[i, :n].tobytes())
+        assert (int(hi[i]) << 32) | int(lo[i]) == expected, (i, n)

@@ -18,6 +18,19 @@ U32 = jnp.uint32
 # numpy scalars (not jnp) so kernels can use them without constant capture
 MASK16 = np.uint32(0xFFFF)
 
+# All arithmetic here is intentionally mod-2^32 wrap-around. When operands are
+# numpy scalars (e.g. two const() values combined on the host) numpy raises
+# RuntimeWarning on overflow even though wrapping is exactly what we want, so
+# silence overflow warnings for this module's functions only.
+def _wrapping(fn):
+    def inner(*args, **kwargs):
+        with np.errstate(over="ignore"):
+            return fn(*args, **kwargs)
+
+    inner.__name__ = fn.__name__
+    inner.__doc__ = fn.__doc__
+    return inner
+
 
 def const(v: int):
     """Lift a Python int to a scalar U64 pair (numpy scalars: usable both in
@@ -25,6 +38,7 @@ def const(v: int):
     return np.uint32((v >> 32) & 0xFFFFFFFF), np.uint32(v & 0xFFFFFFFF)
 
 
+@_wrapping
 def add(a, b):
     hi_a, lo_a = a
     hi_b, lo_b = b
@@ -33,6 +47,7 @@ def add(a, b):
     return hi_a + hi_b + carry, lo
 
 
+@_wrapping
 def add_u32(a, b_lo):
     hi_a, lo_a = a
     lo = lo_a + b_lo
@@ -40,6 +55,7 @@ def add_u32(a, b_lo):
     return hi_a + carry, lo
 
 
+@_wrapping
 def sub(a, b):
     hi_a, lo_a = a
     hi_b, lo_b = b
@@ -52,6 +68,7 @@ def xor(a, b):
     return a[0] ^ b[0], a[1] ^ b[1]
 
 
+@_wrapping
 def _mul32(a, b):
     """Full 32×32→64 product of u32 arrays via 16-bit limbs → (hi, lo)."""
     a0 = a & MASK16
@@ -69,6 +86,7 @@ def _mul32(a, b):
     return hi, lo
 
 
+@_wrapping
 def mul(a, b):
     """64×64→64 (mod 2^64) multiply."""
     hi_a, lo_a = a
@@ -98,6 +116,7 @@ def shr(a, r: int):
     return hi >> r, (lo >> r) | (hi << (32 - r))
 
 
+@_wrapping
 def shl(a, r: int):
     hi, lo = a
     if r >= 32:

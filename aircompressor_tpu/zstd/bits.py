@@ -101,6 +101,38 @@ class ForwardBitReader:
         return self.bit_pos > self.limit_bits
 
 
+def pack_backward(vals: np.ndarray, nbits: np.ndarray) -> bytes:
+    """Vectorized BackwardBitWriter: pack (vals[i], nbits[i]) ops appended
+    LSB-first in order, then the end-mark bit. Equivalent to feeding every op
+    through BackwardBitWriter.add and calling close(), but O(1) numpy passes.
+
+    Bit ranges of distinct ops are disjoint, so per-byte contributions combine
+    with bitwise-or (no carries). Each op spans ≤ ceil((nbits+7)/8)+1 bytes;
+    nbits must be ≤ 56 so value<<7 still fits in int64.
+    """
+    nbits = np.asarray(nbits, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.int64)
+    if nbits.size == 0:
+        return b"\x01"
+    vals = vals & ((np.int64(1) << nbits) - np.int64(1))
+    offs = np.zeros(nbits.size, dtype=np.int64)
+    np.cumsum(nbits[:-1], out=offs[1:])
+    total = int(offs[-1] + nbits[-1])
+    buf = np.zeros((total + 1 + 7) >> 3, dtype=np.uint8)
+    byte0 = offs >> 3
+    shift = offs & 7
+    shifted = vals << shift
+    max_span = int((int(nbits.max()) + 7 + 7) >> 3)
+    for k in range(max_span):
+        live = (8 * k) < (shift + nbits)
+        if not live.any():
+            break
+        contrib = ((shifted[live] >> (8 * k)) & 0xFF).astype(np.uint8)
+        np.bitwise_or.at(buf, byte0[live] + k, contrib)
+    buf[total >> 3] |= np.uint8(1 << (total & 7))
+    return buf.tobytes()
+
+
 class BackwardBitWriter:
     """Writes a backward bitstream: bits appended LSB-first, closed with the
     end-mark bit (reference behavior: zstd/BitOutputStream.java:49-89)."""

@@ -50,17 +50,22 @@ class _PeriodBreaks:
     cost O(run_length) extension rounds."""
 
     def __init__(self, block: np.ndarray):
-        n = block.size
-        idx = np.arange(n, dtype=np.int64)
-        self.next_break = {}
-        for d in range(1, 9):
+        self._block = block
+        self._cache: dict[int, np.ndarray] = {}
+
+    def get(self, d: int) -> np.ndarray:
+        brk = self._cache.get(d)
+        if brk is None:
+            block = self._block
+            n = block.size
             brk = np.full(n, n, dtype=np.int64)
             neq = block[d:] != block[:-d]
-            b = np.where(neq, idx[d:], n)
+            b = np.where(neq, np.arange(d, n, dtype=np.int64), n)
             # suffix minimum → first break at or after x
             brk[d:] = np.minimum.accumulate(b[::-1])[::-1]
             brk[:d] = brk[d] if n > d else n
-            self.next_break[d] = brk
+            self._cache[d] = brk
+        return brk
 
 
 def _match_lengths(w8: np.ndarray, pos: np.ndarray, cand: np.ndarray, n: int,
@@ -78,7 +83,7 @@ def _match_lengths(w8: np.ndarray, pos: np.ndarray, cand: np.ndarray, n: int,
         for d in range(1, 9):
             dd = dist[si] == d
             if np.any(dd):
-                m[dd] = breaks.next_break[d][pos[si[dd]]] - pos[si[dd]]
+                m[dd] = breaks.get(d)[pos[si[dd]]] - pos[si[dd]]
         mlen[si] = np.minimum(np.maximum(m, 0), hard_cap[si])
 
     active = ~small
@@ -160,35 +165,42 @@ def find_sequences(block: np.ndarray):
     if pos.size == 0:
         return (*empty, block.copy())
 
-    # greedy left-to-right commit
-    lit_lens, offsets, match_lens = [], [], []
-    lit_chunks = []
-    anchor = 0
-    i = 0
-    k = pos.size
+    # greedy left-to-right commit (python ints + bisect: the only sequential
+    # pass, O(#matches log #matches))
+    from bisect import bisect_left
+
+    pos_l = pos.tolist()
+    cand_l = cand.tolist()
+    mlen_l = mlen.tolist()
+    c_pos, c_off, c_ml = [], [], []
+    k = len(pos_l)
     cur = 0
+    hard_end = limit + TAIL_MARGIN - 8
+    i = 0
     while True:
-        i = int(np.searchsorted(pos, cur, side="left"))
+        i = bisect_left(pos_l, cur, i)
         if i >= k:
             break
-        p = int(pos[i])
-        ml = int(mlen[i])
-        if p + ml > limit + TAIL_MARGIN - 8:
-            ml = limit + TAIL_MARGIN - 8 - p
+        p = pos_l[i]
+        ml = mlen_l[i]
+        if p + ml > hard_end:
+            ml = hard_end - p
             if ml < MIN_MATCH:
                 cur = p + 1
                 continue
-        lit_lens.append(p - anchor)
-        lit_chunks.append(block[anchor:p])
-        offsets.append(p - int(cand[i]))
-        match_lens.append(ml)
-        anchor = p + ml
-        cur = anchor
-    lit_chunks.append(block[anchor:])
-    literals = np.concatenate(lit_chunks) if lit_chunks else block[0:0]
-    return (
-        np.array(lit_lens, dtype=np.int64),
-        np.array(offsets, dtype=np.int64),
-        np.array(match_lens, dtype=np.int64),
-        literals,
-    )
+        c_pos.append(p)
+        c_off.append(p - cand_l[i])
+        c_ml.append(ml)
+        cur = p + ml
+    p_arr = np.array(c_pos, dtype=np.int64)
+    ml_arr = np.array(c_ml, dtype=np.int64)
+    of_arr = np.array(c_off, dtype=np.int64)
+    # literal runs precede each match; extract all of them in one masked pass
+    ends = p_arr + ml_arr
+    lit_lens = p_arr.copy()
+    lit_lens[1:] -= ends[:-1]
+    inside = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(inside, p_arr, 1)
+    np.add.at(inside, ends, -1)
+    literals = block[np.cumsum(inside[:n]) == 0]
+    return (lit_lens, of_arr, ml_arr, literals)

@@ -15,19 +15,21 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..xxhash import _scalar as xxh
+from ..xxhash import xxh64 as _xxh64  # native-first dispatch
 from . import block_enc, constants as C, huff_enc, seq_enc
 
 MAGIC = C.MAGIC
 
 
 def max_compressed_length(n: int) -> int:
-    # worst case: frame header (14) + per-block 3-byte headers for raw blocks
-    # + checksum (4); mirror the reference's bound shape (n + n>>8 + pad)
+    # the reference's exact bound (zstd/ZstdJavaCompressor.java:30-40, itself
+    # ZSTD_compressBound): n + n/256, plus margin for small inputs. Frame
+    # overhead (header<=14, checksum 4, 3B/block) fits inside the n>>8 /
+    # small-input margin: the margin is >=64B at n=0 and >=512B per 128KB block.
     result = n + (n >> 8)
     if n < 128 * 1024:
         result += (128 * 1024 - n) >> 11
-    return result + 22
+    return result
 
 
 def _write_frame_header(out: bytearray, content_size: int) -> None:
@@ -172,7 +174,7 @@ def compress(src: np.ndarray, dst: np.ndarray, level: int = 3) -> int:
         last = 1 if bi == len(blocks) - 1 else 0
         out += _encode_block(last, *blk, rep)
 
-    digest = xxh.xxh64(src.tobytes())
+    digest = _xxh64(src.tobytes())
     out += int(digest & 0xFFFFFFFF).to_bytes(4, "little")
     if dst.size < len(out):
         raise ValueError("output buffer too small")
@@ -202,24 +204,26 @@ def _partition_blocks(src, ll, offsets, ml, literals):
     if n == 0:
         return []
     max_block = C.MAX_BLOCK_SIZE
-    ll = ll.astype(np.int64).copy()
-    ml = ml.astype(np.int64).copy()
-    n_seq = ll.size
+    # python lists: the per-sequence loop below is much faster on ints
+    ll = ll.astype(np.int64).tolist()
+    ml = ml.astype(np.int64).tolist()
+    offsets = offsets.astype(np.int64).tolist()
+    n_seq = len(ll)
     blocks = []
     seq_i = 0
     lit_pos = 0
     src_pos = 0
     while src_pos < n:
         room = min(max_block, n - src_pos)
-        b_ll, b_of, b_ml, b_lit = [], [], [], []
+        b_ll, b_of, b_ml = [], [], []
+        lit_start = lit_pos  # literal consumption is contiguous per block
         b_size = 0
         while seq_i < n_seq and b_size < room:
-            l, m = int(ll[seq_i]), int(ml[seq_i])
+            l, m = ll[seq_i], ml[seq_i]
             if b_size + l + m <= room:
                 b_ll.append(l)
-                b_of.append(int(offsets[seq_i]) + 3)
+                b_of.append(offsets[seq_i] + 3)
                 b_ml.append(m)
-                b_lit.append(literals[lit_pos : lit_pos + l])
                 lit_pos += l
                 b_size += l + m
                 seq_i += 1
@@ -228,7 +232,6 @@ def _partition_blocks(src, ll, offsets, ml, literals):
             lit_take = min(l, room - b_size)
             if lit_take == room - b_size:
                 # only (part of) the literal run fits
-                b_lit.append(literals[lit_pos : lit_pos + lit_take])
                 lit_pos += lit_take
                 ll[seq_i] -= lit_take
                 b_size += lit_take
@@ -238,15 +241,13 @@ def _partition_blocks(src, ll, offsets, ml, literals):
                 part = m - MIN_WIRE_MATCH
             if part < MIN_WIRE_MATCH:
                 # cannot place any of the match here; flush literals and close
-                b_lit.append(literals[lit_pos : lit_pos + lit_take])
                 lit_pos += lit_take
                 ll[seq_i] -= lit_take
                 b_size += lit_take
                 break
             b_ll.append(l)
-            b_of.append(int(offsets[seq_i]) + 3)
+            b_of.append(offsets[seq_i] + 3)
             b_ml.append(part)
-            b_lit.append(literals[lit_pos : lit_pos + l])
             lit_pos += l
             ll[seq_i] = 0
             ml[seq_i] = m - part
@@ -254,10 +255,9 @@ def _partition_blocks(src, ll, offsets, ml, literals):
             break
         if seq_i >= n_seq and b_size < room:
             take = room - b_size
-            b_lit.append(literals[lit_pos : lit_pos + take])
             lit_pos += take
             b_size += take
-        blk_lits = np.concatenate(b_lit) if b_lit else np.zeros(0, dtype=np.uint8)
+        blk_lits = literals[lit_start:lit_pos]
         blocks.append(
             (
                 src[src_pos : src_pos + b_size],
@@ -280,9 +280,11 @@ def _apply_repcodes(ll, of_values, rep):
     _decode_and_execute_sequences). Mutates ``rep`` (len-3 list) in place;
     returns the new offset-value array."""
     out = of_values.copy()
-    for i in range(of_values.size):
-        o = int(of_values[i]) - 3
-        l = int(ll[i])
+    of_list = of_values.tolist()
+    ll_list = ll.tolist() if isinstance(ll, np.ndarray) else list(ll)
+    for i in range(len(of_list)):
+        o = of_list[i] - 3
+        l = ll_list[i]
         if l > 0:
             if o == rep[0]:
                 out[i] = 1

@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import fse_enc
-from .bits import BackwardBitWriter
+from .bits import BackwardBitWriter, pack_backward
 
 MAX_SYMBOL = 255
 MAX_CODE_LENGTH = 11  # zstd encoder limit for literals (decode table log ≤ 12)
@@ -139,12 +139,8 @@ def write_table(ct: HuffmanCTable) -> bytes:
 def encode_single_stream(data: np.ndarray, ct: HuffmanCTable) -> bytes:
     """Encode one backward Huffman stream: symbols written in reverse order so
     the decoder reads them forward from the stream top."""
-    w = BackwardBitWriter()
-    nb, codes = ct.nbits, ct.codes
-    for b in data[::-1]:
-        s = int(b)
-        w.add(int(codes[s]), int(nb[s]))
-    return w.close()
+    rev = data[::-1].astype(np.int64)
+    return pack_backward(ct.codes[rev], ct.nbits[rev])
 
 
 def encode_4_streams(data: np.ndarray, ct: HuffmanCTable) -> bytes:

@@ -19,7 +19,7 @@ import numpy as np
 
 from . import constants as C
 from . import fse_enc
-from .bits import BackwardBitWriter
+from .bits import BackwardBitWriter, pack_backward
 
 OF_BITS_OF = None  # offset extra bits == code itself
 
@@ -137,25 +137,66 @@ def compress_sequences(ll: np.ndarray, of_values: np.ndarray, ml: np.ndarray) ->
     of_extra = of_values.astype(np.int64) - (np.int64(1) << ofc)
     of_xbits = ofc
 
-    w = BackwardBitWriter()
-    enc_ml = fse_enc.FseEncoder(f_ml.ctable)
-    enc_of = fse_enc.FseEncoder(f_of.ctable)
-    enc_ll = fse_enc.FseEncoder(f_ll.ctable)
+    # Writer-order op stream (see module docstring):
+    #   [ll_x, ml_x, of_x](last), then per i = n-2..0:
+    #   [of_state, ml_state, ll_state, ll_x, ml_x, of_x](i),
+    #   then flushes [ml, of, ll].
+    # The FSE state walks are the only sequential part — run them as a tight
+    # Python-int loop over pre-gathered per-sequence deltas, then assemble all
+    # (value, nbits) ops into arrays and bit-pack vectorized (pack_backward).
     last = n - 1
-    enc_ml.init_state(int(mlc[last]))
-    enc_of.init_state(int(ofc[last]))
-    enc_ll.init_state(int(llc[last]))
-    w.add(int(ll_extra[last]), int(ll_xbits[last]))
-    w.add(int(ml_extra[last]), int(ml_xbits[last]))
-    w.add(int(of_extra[last]), int(of_xbits[last]))
-    for i in range(n - 2, -1, -1):
-        enc_of.encode(w, int(ofc[i]))
-        enc_ml.encode(w, int(mlc[i]))
-        enc_ll.encode(w, int(llc[i]))
-        w.add(int(ll_extra[i]), int(ll_xbits[i]))
-        w.add(int(ml_extra[i]), int(ml_xbits[i]))
-        w.add(int(of_extra[i]), int(of_xbits[i]))
-    enc_ml.flush(w)
-    enc_of.flush(w)
-    enc_ll.flush(w)
-    return bytes(out) + w.close()
+    m = n - 1  # number of state-emission steps per field
+
+    def _state_walk(codes, ct):
+        """Init from codes[last], then encode codes[n-2..0]; returns
+        (vals, bits) per step in walk order plus the final state."""
+        dnb = ct.delta_nb_bits[codes].tolist()
+        dfs = ct.delta_find_state[codes].tolist()
+        ns = ct.next_state.tolist()
+        s0 = int(codes[last])
+        nb0 = (int(dnb[last]) + (1 << 15)) >> 16
+        sub = ((nb0 << 16) - int(dnb[last])) >> nb0
+        st = ns[sub + int(dfs[last])]
+        vals = [0] * m
+        bits = [0] * m
+        for j in range(m):
+            i = last - 1 - j
+            nb = (st + dnb[i]) >> 16
+            vals[j] = st
+            bits[j] = nb
+            st = ns[(st >> nb) + dfs[i]]
+        return vals, bits, st
+
+    of_v, of_b, of_fin = _state_walk(ofc, f_of.ctable)
+    ml_v, ml_b, ml_fin = _state_walk(mlc, f_ml.ctable)
+    ll_v, ll_b, ll_fin = _state_walk(llc, f_ll.ctable)
+
+    n_ops = 3 + 6 * m + 3
+    vals = np.zeros(n_ops, dtype=np.int64)
+    bits = np.zeros(n_ops, dtype=np.int64)
+    # last sequence's extras
+    vals[0:3] = (ll_extra[last], ml_extra[last], of_extra[last])
+    bits[0:3] = (ll_xbits[last], ml_xbits[last], of_xbits[last])
+    if m:
+        rev = np.arange(last - 1, -1, -1)
+        body_v = vals[3 : 3 + 6 * m]
+        body_b = bits[3 : 3 + 6 * m]
+        body_v[0::6] = of_v
+        body_b[0::6] = of_b
+        body_v[1::6] = ml_v
+        body_b[1::6] = ml_b
+        body_v[2::6] = ll_v
+        body_b[2::6] = ll_b
+        body_v[3::6] = ll_extra[rev]
+        body_b[3::6] = ll_xbits[rev]
+        body_v[4::6] = ml_extra[rev]
+        body_b[4::6] = ml_xbits[rev]
+        body_v[5::6] = of_extra[rev]
+        body_b[5::6] = of_xbits[rev]
+    vals[-3:] = (ml_fin, of_fin, ll_fin)
+    bits[-3:] = (
+        f_ml.ctable.table_log,
+        f_of.ctable.table_log,
+        f_ll.ctable.table_log,
+    )
+    return bytes(out) + pack_backward(vals, bits)

@@ -64,6 +64,48 @@ def test_crc32c_batched(batch):
         assert int(masked[i]) == host_crc.masked_crc32c(raw), (i, n)
 
 
+def test_snappy_pallas_megakernel():
+    """Single-launch snappy decode megakernel is bit-exact vs the ref tier
+    and rejects malformed input (interpret mode off-TPU).
+
+    Reference parity: snappy/SnappyRawDecompressor.java:30-220 (the whole
+    batch decodes in ONE pallas_call vs the reference's one JNI call)."""
+    from aircompressor_tpu.ops import snappy_pallas
+    from aircompressor_tpu.snappy import SnappyRefCompressor
+
+    rng = np.random.default_rng(3)
+    cases = [
+        b"hello world hello world hello world",
+        b"a" * 300,
+        b"ab" * 500,
+        bytes(rng.integers(0, 256, 1000, dtype=np.uint8)),
+        (b"The quick brown fox jumps over the lazy dog. " * 40),
+        b"X",
+        b"abcabcabc" + bytes(rng.integers(0, 4, 900, dtype=np.uint8)),
+        b"",
+    ]
+    comp = SnappyRefCompressor()
+    blobs = [comp.compress(c) for c in cases]
+    cap = 1024 * ((max(len(b) for b in blobs) + 1023) // 1024)
+    B = len(blobs)
+    buf = np.zeros((B, cap), np.uint8)
+    lens = np.zeros(B, np.int32)
+    for i, b in enumerate(blobs):
+        buf[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+
+    out, out_lens, ok = snappy_pallas.decode(buf, lens)
+    out, out_lens, ok = np.asarray(out), np.asarray(out_lens), np.asarray(ok)
+    for i, c in enumerate(cases):
+        assert ok[i], i
+        assert out[i, : out_lens[i]].tobytes() == c, i
+
+    # truncated input must fail, not crash or emit garbage silently
+    t_lens = np.maximum(1, lens // 2)
+    _, _, ok_t = snappy_pallas.decode(buf, t_lens)
+    assert not np.asarray(ok_t)[0]
+
+
 def test_xxh64_pallas_kernel():
     """The Pallas stripe kernel (single-launch batched xxh64) is bit-exact
     vs the XSUM-validated scalar tier (interpret mode off-TPU)."""

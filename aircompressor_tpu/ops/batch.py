@@ -21,6 +21,22 @@ CHUNK = 65536
 _COMP_ALIGN = 1024
 
 
+def _snappy_decode():
+    """Snappy device decode: the single-launch Pallas megakernel on TPU
+    (one program per batch — the device analogue of the reference's one
+    JNI call, Lz4Native.java:30-41); the multi-fusion XLA decoder off-TPU
+    (Pallas interpret mode is Python-speed, XLA-CPU is not)."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from . import snappy_pallas
+
+        return snappy_pallas.decode
+    from . import snappy_jax
+
+    return snappy_jax.decode
+
+
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
@@ -61,13 +77,11 @@ class SnappyBatchCodec:
     def decompress_chunks(self, blobs: Sequence[bytes]) -> list[bytes]:
         import jax.numpy as jnp
 
-        from . import snappy_jax
-
         if not blobs:
             return []
         cap = _round_up(max(len(b) for b in blobs) + 1, _COMP_ALIGN)
         buf, lens = _pack(blobs, cap)
-        out, olens, ok = snappy_jax.decode(
+        out, olens, ok = _snappy_decode()(
             jnp.asarray(buf), jnp.asarray(lens), out_cap=self.max_chunk
         )
         out = np.asarray(out)
@@ -128,7 +142,7 @@ def snappy_framed_decompress_device(data: bytes, verify_checksums: bool = True) 
     import jax.numpy as jnp
 
     from ..snappy.framed import iter_frames
-    from . import checksum_jax, snappy_jax
+    from . import checksum_jax
 
     comp_chunks: list[bytes] = []
     comp_crcs: list[int] = []
@@ -146,7 +160,7 @@ def snappy_framed_decompress_device(data: bytes, verify_checksums: bool = True) 
     if comp_chunks:
         cap = _round_up(max(len(b) for b in comp_chunks) + 1, _COMP_ALIGN)
         buf, lens = _pack(comp_chunks, cap)
-        out, olens, ok = snappy_jax.decode(
+        out, olens, ok = _snappy_decode()(
             jnp.asarray(buf), jnp.asarray(lens), out_cap=CHUNK
         )
         okn = np.asarray(ok)

@@ -3,16 +3,30 @@
 Format parity: reference snappy/SnappyRawDecompressor.java:30-220 (varint
 length, tag dispatch, strict validation). One ``pallas_call`` decodes a whole
 (B, 64KB) batch: the grid walks chunks; each grid step runs a merged
-parse+emit state machine over its chunk with ONLY hardware-fast primitives —
-dynamic (1, 128) row loads/stores, lane rotates (``pltpu.roll``) and masked
-selects. No generic gathers: XLA's element-wise gather costs ~17ns/element on
-this hardware (measured), which is what made the round-1 scan-free decoder
-launch-bound; here every 128-byte window moves in ~10 VPU ops.
+parse+emit state machine over its chunk.
 
-The state machine is branchless: every iteration loads one input window and
-one output window, computes token parameters unconditionally, and selects
-between "start a new token" and "continue the current run" with vector
-selects — a typical (≤128-byte) token costs ONE loop iteration.
+Cost model (measured on this chip): a ``lax.while_loop`` iteration has a
+~143ns floor under which loads, stores, and plain vector ops hide almost
+completely; the only primitive that sticks out is a lane rotate
+(``pltpu.roll``, ~74ns static or dynamic). The kernel is therefore shaped to
+execute exactly TWO rolls per iteration:
+
+- token headers are extracted from the raw (unrotated) input rows with
+  lane-compare reductions — free vector work, no alignment roll;
+- the source window (literal bytes or copy source) is loaded as a raw row
+  pair and rotated DIRECTLY into its output-tile position: the alignment
+  rotate and the placement rotate fuse into one roll per row
+  (roll(row, (o - src_lane) mod 128)), with the row_a/row_b seam handled by
+  a lane select;
+- literal vs copy source construction sits under a scalar ``lax.cond`` so
+  only one path's rolls execute per iteration.
+
+The output keeps the current and previous 128-byte tiles in registers:
+copies with dist ≤ o+127 are served register-to-register, far copies read
+flushed VMEM rows (safe: dist ≥ o+128 puts the whole source below the write
+row, and rows are flushed exactly once, on tile crossing).
+
+A typical (≤128-byte) token costs ONE loop iteration.
 
 Layout contract: bytes are carried as int32 (Mosaic has no i8 vector ops) in
 (rows, 128) tiles — byte p of chunk b lives at [b*R + (p >> 7), p & 127].
@@ -20,8 +34,7 @@ The wrapper packs/unpacks around the kernel (one cheap fused XLA pass each).
 
 Overlapping copies (dist < len) replicate their period by capping each emit
 window at the current distance and letting the effective distance double as
-output accrues (the flushed VMEM region is always a valid source because a
-window never reads at or past the write position).
+output accrues (log2(len) windows resolve any overlap run).
 """
 
 from __future__ import annotations
@@ -40,31 +53,32 @@ OUT_ROWS = 512  # 64KB output per chunk
 MAX_OUT = OUT_ROWS * LANES
 
 
-def _aligned_window(ref, base_row_cap: int, pos):
-    """(1, 128) window of bytes pos..pos+127 from a (rows, 128) byte ref.
-
-    Loads the two covering rows and lane-rotates them into alignment.
-    Rows are clamped to the ref to keep loads legal; callers guarantee the
-    bytes actually consumed are in range.
-    """
-    r = pos >> 7
-    s = pos & 127
-    r0 = jnp.clip(r, 0, base_row_cap - 1)
-    r1 = jnp.clip(r + 1, 0, base_row_cap - 1)
-    row_a = ref[pl.ds(r0, 1), :]
-    row_b = ref[pl.ds(r1, 1), :]
-    # aligned[k] = byte pos+k: lanes < 128-s come from row_a[s:], rest row_b
-    rot = (128 - s) % 128
-    a = pltpu.roll(row_a, rot, 1)
-    b = pltpu.roll(row_b, rot, 1)
-    lane = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
-    return jnp.where(lane < 128 - s, a, b)
-
-
 def _decode_kernel(lens_ref, in_ref, out_ref, meta_ref):
     b = pl.program_id(0)
     clen = lens_ref[b]
     in_rows = in_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
+    zero_tile = jnp.zeros((1, LANES), I32)
+
+    def load_pair(ref, row_cap, pos):
+        r = pos >> 7
+        r0 = jnp.clip(r, 0, row_cap - 1)
+        r1 = jnp.clip(r + 1, 0, row_cap - 1)
+        return ref[pl.ds(r0, 1), :], ref[pl.ds(r1, 1), :]
+
+    def place(row_a, row_b, src_lane, o):
+        """Rotate a raw row pair so lane o+m holds byte m of the source
+        (source starts at lane ``src_lane`` of row_a). ONE roll per row."""
+        rot = (o - src_lane) & 127
+        a = pltpu.roll(row_a, rot, 1)
+        bb = pltpu.roll(row_b, rot, 1)
+        return jnp.where(lane < o + 128 - src_lane, a, bb)
+
+    def peek(row_a, row_b, s, k):
+        """Byte s+k of a raw row pair as a scalar via lane-compare reduce."""
+        sk = s + k
+        row = jnp.where(sk < 128, row_a, row_b)
+        return jnp.sum(jnp.where(lane == (sk & 127), row, 0))
 
     # ---- varint uncompressed length (≤5 bytes; reference readUncompressedLength)
     v0 = in_ref[0, 0]
@@ -82,32 +96,30 @@ def _decode_kernel(lens_ref, in_ref, out_ref, meta_ref):
             carry = carry & (vk >= 128)
     err0 = (declared > MAX_OUT) | (vlen > clen) | (clen > in_rows * LANES)
 
-    zero_tile = jnp.zeros((1, LANES), I32)
-    lane = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
-
     # ---- merged parse+emit state machine
-    # carry: ip, op, rem, src, from_input, dist, err, steps, tile
+    # carry: ip, op, rem, src, from_input, dist, err, steps, tile, prev
     #   rem > 0  → a run (literal or copy) is in flight
     #   src      → input position of the next literal byte (literal runs)
     #   dist     → effective copy distance (copies; doubles as overlap resolves)
+    #   tile/prev → current and previous 128-byte output rows (registers)
     def cond(c):
-        ip, op, rem, src, from_inp, dist, err, steps, tile = c
+        ip, op, rem = c[0], c[1], c[2]
+        err, steps = c[6], c[7]
         more = (rem > 0) | (ip < clen)
         return (~err) & more & (steps < 2 * MAX_OUT)
 
     def body(c):
-        ip, op, rem, src, from_inp, dist, err, steps, tile = c
+        ip, op, rem, src, from_inp, dist, err, steps, tile, prev = c
         need = rem == 0  # parse a new token this iteration?
 
-        # one input window serves both token parse (at ip) and literal
-        # continuation (at src)
-        pos_in = jnp.where(need, ip, src)
-        w = _aligned_window(in_ref, in_rows, pos_in)
-        tag = w[0, 0]
-        b1 = w[0, 1]
-        b2 = w[0, 2]
-        b3 = w[0, 3]
-        b4 = w[0, 4]
+        # ---- parse (header bytes via reductions on the raw row pair; no roll)
+        ha, hb = load_pair(in_ref, in_rows, ip)
+        hs = ip & 127
+        tag = peek(ha, hb, hs, 0)
+        b1 = peek(ha, hb, hs, 1)
+        b2 = peek(ha, hb, hs, 2)
+        b3 = peek(ha, hb, hs, 3)
+        b4 = peek(ha, hb, hs, 4)
         ttype = tag & 3
         n = tag >> 2
         # literal params
@@ -167,33 +179,44 @@ def _decode_kernel(lens_ref, in_ref, out_ref, meta_ref):
         is_copy = m_from == 0
         take = jnp.minimum(m_rem, 128 - o)
         take = jnp.where(is_copy, jnp.minimum(take, m_dist), take)
-        # a parse-iteration literal streams from w itself (offset tok_size);
-        # its window only holds 128 - tok_size fresh bytes
-        lit_off = jnp.where(need, tok_size, 0)
-        take = jnp.where(
-            (~is_copy) & (lit_off > 0), jnp.minimum(take, 128 - lit_off), take
-        )
         take = jnp.where(n_err, 0, take)
 
-        # flush the partial tile first so copy sources read valid VMEM
-        out_ref[pl.ds(op >> 7, 1), :] = tile
+        def copy_window(_):
+            # near (dist ≤ o+127): source inside the (prev, tile) register
+            # pair, which holds bytes [op-o-128, op-o+128)
+            def near(_):
+                poff = o + 128 - m_dist  # 1..255
+                ra = jnp.where(poff < 128, prev, tile)
+                rb = tile
+                return place(ra, rb, poff & 127, o)
 
-        wc = _aligned_window(out_ref, OUT_ROWS, op - m_dist)
-        # literal window: roll w left by lit_off so byte 0 = next literal byte
-        wl = pltpu.roll(w, (128 - lit_off) % 128, 1)
-        srcw = jnp.where(is_copy, wc, wl)
-        placed = pltpu.roll(srcw, o, 1)
+            # far (dist ≥ o+128): whole source window is below the write row,
+            # and every row below it has been flushed
+            def far(_):
+                q = op - m_dist
+                ra, rb = load_pair(out_ref, OUT_ROWS, q)
+                return place(ra, rb, q & 127, o)
+
+            return jax.lax.cond(m_dist > o + 127, far, near, None)
+
+        def lit_window(_):
+            q = m_src  # next literal byte (input position)
+            ra, rb = load_pair(in_ref, in_rows, q)
+            return place(ra, rb, q & 127, o)
+
+        placed = jax.lax.cond(is_copy, copy_window, lit_window, None)
         mask = (lane >= o) & (lane < o + take)
         n_tile = jnp.where(mask, placed, tile)
         n_op = op + take
-        crossed = (n_op & 127) == 0
+        crossed = ((n_op & 127) == 0) & (take > 0)
 
-        # flush on tile crossing, then reset the register tile
-        @pl.when(crossed & (take > 0))
+        # flush ONLY on tile crossing; the finished row becomes prev
+        @pl.when(crossed)
         def _():
             out_ref[pl.ds(op >> 7, 1), :] = n_tile
 
-        n_tile = jnp.where(crossed & (take > 0), zero_tile, n_tile)
+        n_prev = jnp.where(crossed, n_tile, prev)
+        n_tile = jnp.where(crossed, zero_tile, n_tile)
         # after writing a full D-sized batch the written suffix has period
         # D, so D may double (overlap runs resolve in log2(len) windows)
         n_dist = jnp.where(
@@ -210,6 +233,7 @@ def _decode_kernel(lens_ref, in_ref, out_ref, meta_ref):
             n_err,
             steps + 1,
             n_tile,
+            n_prev,
         )
 
     init = (
@@ -222,10 +246,10 @@ def _decode_kernel(lens_ref, in_ref, out_ref, meta_ref):
         err0,
         jnp.int32(0),
         zero_tile,
+        zero_tile,
     )
-    ip, op, rem, src, from_inp, dist, err, steps, tile = jax.lax.while_loop(
-        cond, body, init
-    )
+    out = jax.lax.while_loop(cond, body, init)
+    ip, op, rem, err, steps, tile = out[0], out[1], out[2], out[6], out[7], out[8]
 
     # final partial-tile flush
     @pl.when((op & 127) != 0)

@@ -134,6 +134,34 @@ class Lz4BatchCodec:
         return [out[i, : olens[i]].tobytes() for i in range(len(blobs))]
 
 
+class ZstdBatchCodec:
+    """Frame-parallel Zstd decode on the device (three single-launch Pallas
+    kernels: Huffman literals, FSE sequences, sequence execution —
+    ops/zstd_jax + ops/zstd_pallas; host parses only headers). Compression
+    uses the host tier (ref or native) per chunk — the reference's native
+    tier is also a host library call (zstd/ZstdNative.java:27-41)."""
+
+    def __init__(self, max_chunk: int | None = None, level: int = 3):
+        from . import zstd_jax
+
+        self.max_chunk = max_chunk or zstd_jax.OUT_CAP
+        if self.max_chunk > zstd_jax.OUT_CAP:
+            raise ValueError(
+                f"zstd device chunks are capped at {zstd_jax.OUT_CAP} bytes")
+        self.level = level
+
+    def compress_chunks(self, chunks: Sequence[bytes]) -> list[bytes]:
+        from ..zstd import ZstdCompressor
+
+        comp = ZstdCompressor.create(self.level)
+        return [comp.compress(c) for c in chunks]
+
+    def decompress_chunks(self, blobs: Sequence[bytes]) -> list[bytes]:
+        from . import zstd_jax
+
+        return zstd_jax.decode_batch(blobs, out_cap=self.max_chunk)
+
+
 def snappy_framed_decompress_device(data: bytes, verify_checksums: bool = True) -> bytes:
     """Decode an x-snappy-framed stream with the compressed chunks decoded
     as ONE device batch and all chunk CRCs verified by the batched device

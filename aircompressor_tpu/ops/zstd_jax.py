@@ -1,0 +1,258 @@
+"""Zstd batch decode on device — host planner + three Pallas launches.
+
+Pipeline per launch (reference architecture contrast: the reference decodes
+a frame on one thread end-to-end, zstd/ZstdFrameDecompressor.java:135-210;
+here the entropy payloads of a whole BATCH decode in three single-launch
+device kernels and the host touches only headers):
+
+  zstd/device_prep.plan_batch      (host: frame/block/table headers)
+  -> zstd_pallas.huffman_decode    (kernel A: all Huffman literal streams)
+  -> zstd_pallas.fse_sequences     (kernel C: all FSE sequences sections)
+  -> zstd_pallas.execute           (kernel D: one grid step per frame)
+
+Launch geometry is FIXED (shapes below) so jit compiles one program per
+kernel; a batch is split greedily into launches that fit the geometry, and
+frames that cannot fit (pathological block/stream counts, oversize frames)
+fall back to the host tier — the same graceful-degradation contract as the
+reference's native->java fallback (internal/NativeLoader.java:104-112).
+
+VMEM budget (v5e ~16MB/core): src 2.2MB + litpad 2.2MB + seq 3x0.7MB +
+out-block 0.25MB + tables << 16MB for the default geometry.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..errors import MalformedInputException
+from ..zstd import constants as C
+from ..zstd import device_prep as dp
+
+LANES = 128
+
+# ------------------------------------------------------- fixed launch geometry
+F_PER_LAUNCH = 8  # frames per launch
+OUT_CAP = 65536  # per-frame decompressed capacity (the snappy-chunk bound)
+SRC_ROWS = 4224  # 540,672 input bytes (>= F * maxCompressedLength(OUT_CAP))
+LIT_ROWS = 4224  # 540,672 padded literal slots
+SEQ_ROWS = 1408  # 180,224 sequence slots
+GH = 8  # Huffman stream groups of 8 (64 streams)
+GS = 2  # sequences-section groups of 8 (16 streams)
+DESC_ROWS = 64  # block descriptors
+
+
+def _seq_info() -> np.ndarray:
+    """(8,128) constant rows: [0]=LL base<<5|xbits, [1]=ML base<<5|xbits."""
+    info = np.zeros((8, LANES), np.int32)
+    nll = C.LL_BASE.size
+    info[0, :nll] = (C.LL_BASE.astype(np.int64) << 5 | C.LL_BITS).astype(np.int32)
+    nml = C.ML_BASE.size
+    info[1, :nml] = (C.ML_BASE.astype(np.int64) << 5 | C.ML_BITS).astype(np.int32)
+    return info
+
+
+_SEQ_INFO = _seq_info()
+
+
+def _fits(plan: dp.BatchPlan) -> bool:
+    return (
+        plan.src.size <= SRC_ROWS * LANES - 8
+        and plan.litpad_size <= LIT_ROWS * LANES
+        and plan.seq_size <= SEQ_ROWS * LANES
+        and len(plan.huff_streams) <= GH * 8
+        and len(plan.seq_streams) <= GS * 8
+        and sum(len(f.blocks) for f in plan.frames) <= DESC_ROWS
+        and len(plan.frames) <= F_PER_LAUNCH
+    )
+
+
+def _pack_huff(plan: dp.BatchPlan):
+    iters = np.zeros(GH, np.int32)
+    params = np.zeros((GH * 8, 384), np.int32)
+    # long streams first so group iteration bounds track the real work
+    order = sorted(range(len(plan.huff_streams)),
+                   key=lambda i: -plan.huff_streams[i].nsym)
+    for slot, i in enumerate(order):
+        hs = plan.huff_streams[i]
+        g = slot // 8
+        row = params[slot]
+        row[0] = hs.byte_lo * 8  # A_BITBASE (bits)
+        row[1] = hs.rem_init
+        row[2] = hs.nsym
+        row[3] = hs.out_base // LANES  # A_OUTROW
+        row[4] = hs.table_log
+        row[8:20] = hs.rank_start[1:13]  # A_RS
+        row[24:36] = hs.cum_syms  # A_CUM
+        row[128:384] = hs.perm
+        iters[g] = max(iters[g], hs.nsym)
+    return iters, params
+
+
+def _pack_seq(plan: dp.BatchPlan):
+    iters = np.zeros(GS, np.int32)
+    params = np.zeros((GS * 8, 128), np.int32)
+    tabs = np.zeros((GS, 10, 8, 128), np.int32)
+    order = sorted(range(len(plan.seq_streams)),
+                   key=lambda i: -plan.seq_streams[i].nseq)
+    for slot, i in enumerate(order):
+        ss = plan.seq_streams[i]
+        g, r = slot // 8, slot % 8
+        row = params[slot]
+        row[0] = ss.byte_lo * 8  # C_BITBASE (bits)
+        row[1] = ss.rem_init
+        row[2] = ss.nseq
+        row[3] = ss.out_base // LANES  # C_OUTROW
+        row[4] = ss.ll_state
+        row[5] = ss.of_state
+        row[6] = ss.ml_state
+        tabs[g, 0:4, r] = ss.ll_entries.reshape(4, 128)
+        tabs[g, 4:6, r] = ss.of_entries.reshape(2, 128)
+        tabs[g, 6:10, r] = ss.ml_entries.reshape(4, 128)
+        iters[g] = max(iters[g], ss.nseq)
+    return iters, params, tabs
+
+
+def _pack_frames(plan: dp.BatchPlan):
+    frames = np.zeros((F_PER_LAUNCH, LANES), np.int32)
+    desc = np.zeros((DESC_ROWS, LANES), np.int32)
+    iters = np.zeros(F_PER_LAUNCH, np.int32)
+    di = 0
+    for f, fp in enumerate(plan.frames):
+        frames[f, 0] = di  # F_DESCBASE
+        frames[f, 1] = len(fp.blocks)  # F_NBLOCKS
+        bound = 64
+        for bp in fp.blocks:
+            row = desc[di]
+            row[0] = bp.n_seq  # D_NSEQ
+            row[1] = max(bp.seq_out_base, 0) // LANES  # D_SEQROW
+            row[2] = bp.lit_total  # D_LITTOTAL
+            for k in range(len(bp.piece_kind)):
+                row[4 + k] = bp.piece_kind[k]  # D_PKIND
+                row[8 + k] = bp.piece_src[k]  # D_PSRC
+                row[12 + k] = bp.piece_end[k]  # D_PEND
+            di += 1
+            # runaway guard: every kernel-D iteration either emits >=1 byte
+            # or transitions a run (<= 2 per sequence) or a block
+            bound += bp.lit_total + 4 * bp.n_seq + 8
+        iters[f] = bound + OUT_CAP
+    return iters, frames, desc
+
+
+def _pad_src(src: np.ndarray):
+    """Flat u8 -> ((SRC_ROWS,128) i32 byte rows, (SRC_ROWS//4,128) i32 LE words)."""
+    buf = np.zeros(SRC_ROWS * LANES, np.uint8)
+    buf[: src.size] = src
+    rows = buf.astype(np.int32).reshape(SRC_ROWS, LANES)
+    words = buf.view("<u4").astype(np.int64).astype(np.int32)
+    return rows, words.reshape(SRC_ROWS // 4, LANES)
+
+
+def _decode_plan(plan: dp.BatchPlan):
+    """Run the three kernels for one planned launch; returns (out_bytes(F,cap)
+    u8, out_lens(F,), ok(F,))."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import zstd_pallas
+
+    interpret = jax.default_backend() != "tpu"
+    src_rows, src_words = _pad_src(plan.src)
+    h_iters, h_params = _pack_huff(plan)
+    s_iters, s_params, s_tabs = _pack_seq(plan)
+    d_iters, d_frames, d_desc = _pack_frames(plan)
+
+    litpad, h_rem = zstd_pallas.huffman_decode(
+        jnp.asarray(h_iters), jnp.asarray(h_params), jnp.asarray(src_rows),
+        LIT_ROWS, interpret)
+    ll, ml, of, s_rem, s_err = zstd_pallas.fse_sequences(
+        jnp.asarray(s_iters), jnp.asarray(s_params), jnp.asarray(s_tabs),
+        jnp.asarray(_SEQ_INFO), jnp.asarray(src_words), SEQ_ROWS, interpret)
+    out, out_len, ok = zstd_pallas.execute(
+        jnp.asarray(d_iters), jnp.asarray(d_frames), jnp.asarray(d_desc),
+        ll, ml, of, litpad, jnp.asarray(src_rows), OUT_CAP // LANES, interpret)
+
+    n = len(plan.frames)
+    out_n = np.asarray(out).reshape(F_PER_LAUNCH, OUT_CAP)[:n].astype(np.uint8)
+    out_len_n = np.asarray(out_len)[:n]
+    ok_n = np.asarray(ok)[:n].copy()
+    # entropy-stream validation: a fully-consumed backward stream ends rem==0
+    h_rem_n = np.asarray(h_rem)
+    s_rem_n = np.asarray(s_rem)
+    s_err_n = np.asarray(s_err)
+    order = sorted(range(len(plan.huff_streams)),
+                   key=lambda i: -plan.huff_streams[i].nsym)
+    bad_lit = {plan.huff_streams[i].out_base
+               for slot, i in enumerate(order) if h_rem_n[slot] != 0}
+    order = sorted(range(len(plan.seq_streams)),
+                   key=lambda i: -plan.seq_streams[i].nseq)
+    bad_seq = {plan.seq_streams[i].out_base
+               for slot, i in enumerate(order)
+               if s_rem_n[slot] != 0 or s_err_n[slot]}
+    for f, fp in enumerate(plan.frames):
+        for bp in fp.blocks:
+            if bp.seq_out_base >= 0 and bp.seq_out_base in bad_seq:
+                ok_n[f] = False
+            for kind, sbase in zip(bp.piece_kind, bp.piece_src):
+                if kind == dp.PIECE_HUFF and sbase in bad_lit:
+                    ok_n[f] = False
+        if fp.content_size >= 0 and out_len_n[f] != fp.content_size:
+            ok_n[f] = False
+    return out_n, out_len_n, ok_n
+
+
+def _host_decode_one(item: bytes, out_cap: int) -> bytes:
+    """Host-tier fallback for frames the launch geometry cannot hold."""
+    from ..zstd import frame_dec
+
+    src = np.frombuffer(bytes(item), np.uint8)
+    dst = np.zeros(out_cap, np.uint8)
+    n = frame_dec.decompress(src, dst)
+    return dst[:n].tobytes()
+
+
+def decode_batch(items, out_cap: int = OUT_CAP, verify_checksums: bool = True):
+    """Decode a batch of single-frame zstd payloads on the device.
+
+    Returns list[bytes]. Raises MalformedInputException (with the item index
+    as offset) on any malformed frame. Frames that exceed the launch geometry
+    decode on the host tier (same output, graceful degradation)."""
+    if out_cap > OUT_CAP:
+        raise ValueError(f"device zstd tier caps frames at {OUT_CAP} bytes")
+    outs: list = [None] * len(items)
+    pending: list[int] = []
+
+    def flush(idx_list):
+        if not idx_list:
+            return
+        plan = dp.plan_batch([items[i] for i in idx_list], out_cap)
+        out_n, out_len_n, ok_n = _decode_plan(plan)
+        bad = np.nonzero(~ok_n)[0]
+        if bad.size:
+            raise MalformedInputException(
+                idx_list[int(bad[0])], "malformed zstd frame in device batch")
+        for j, i in enumerate(idx_list):
+            outs[i] = out_n[j, : out_len_n[j]].tobytes()
+        if verify_checksums:
+            for j, i in enumerate(idx_list):
+                fp = plan.frames[j]
+                if fp.has_checksum:
+                    from ..xxhash import xxh64
+
+                    if (xxh64(outs[i]) & 0xFFFFFFFF) != fp.checksum:
+                        raise MalformedInputException(
+                            i, "frame checksum mismatch (device decode)")
+
+    for i, item in enumerate(items):
+        trial = pending + [i]
+        plan = dp.plan_batch([items[k] for k in trial], out_cap)
+        if _fits(plan):
+            pending = trial
+            continue
+        solo = dp.plan_batch([item], out_cap)
+        if not _fits(solo):
+            outs[i] = _host_decode_one(item, out_cap)  # geometry overflow
+            continue
+        flush(pending)
+        pending = [i]
+    flush(pending)
+    return outs

@@ -22,6 +22,8 @@ out-block 0.25MB + tables << 16MB for the default geometry.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 from ..errors import MalformedInputException
@@ -31,14 +33,16 @@ from ..zstd import device_prep as dp
 LANES = 128
 
 # ------------------------------------------------------- fixed launch geometry
-F_PER_LAUNCH = 8  # frames per launch
+# VMEM is ~128MB on v5e; the kernel-D working set (src + litpad + 3 seq arrays
+# + one out block, all i32) is the binding sum (~26MB at this geometry).
+F_PER_LAUNCH = 32  # frames per launch
 OUT_CAP = 65536  # per-frame decompressed capacity (the snappy-chunk bound)
-SRC_ROWS = 4224  # 540,672 input bytes (>= F * maxCompressedLength(OUT_CAP))
-LIT_ROWS = 4224  # 540,672 padded literal slots
-SEQ_ROWS = 1408  # 180,224 sequence slots
-GH = 8  # Huffman stream groups of 8 (64 streams)
-GS = 2  # sequences-section groups of 8 (16 streams)
-DESC_ROWS = 64  # block descriptors
+SRC_ROWS = 16896  # 2,162,688 input bytes (>= F * maxCompressedLength(OUT_CAP))
+LIT_ROWS = 16896  # 2,162,688 padded literal slots
+SEQ_ROWS = 5632  # 720,896 sequence slots
+GH = 32  # Huffman stream groups of 8 (256 streams)
+GS = 8  # sequences-section groups of 8 (64 streams)
+DESC_ROWS = 256  # block descriptors
 
 
 def _seq_info() -> np.ndarray:
@@ -54,16 +58,66 @@ def _seq_info() -> np.ndarray:
 _SEQ_INFO = _seq_info()
 
 
-def _fits(plan: dp.BatchPlan) -> bool:
+def _usage(plan: dp.BatchPlan) -> tuple:
+    """(src bytes 128-aligned, lit slots, seq slots, huff streams, seq
+    streams, blocks, frames) — the launch-geometry resource vector."""
     return (
-        plan.src.size <= SRC_ROWS * LANES - 8
-        and plan.litpad_size <= LIT_ROWS * LANES
-        and plan.seq_size <= SEQ_ROWS * LANES
-        and len(plan.huff_streams) <= GH * 8
-        and len(plan.seq_streams) <= GS * 8
-        and sum(len(f.blocks) for f in plan.frames) <= DESC_ROWS
-        and len(plan.frames) <= F_PER_LAUNCH
+        dp._align(plan.src.size),
+        plan.litpad_size,
+        plan.seq_size,
+        len(plan.huff_streams),
+        len(plan.seq_streams),
+        sum(len(f.blocks) for f in plan.frames),
+        len(plan.frames),
     )
+
+
+_LIMITS = (SRC_ROWS * LANES - 8, LIT_ROWS * LANES, SEQ_ROWS * LANES,
+           GH * 8, GS * 8, DESC_ROWS, F_PER_LAUNCH)
+
+
+def _fits(usage: tuple) -> bool:
+    return all(u <= lim for u, lim in zip(usage, _LIMITS))
+
+
+def _merge_plans(plans: list) -> dp.BatchPlan:
+    """Concatenate per-item solo plans into one launch plan by offset
+    rebasing (each item's src segment is 128-aligned in the merged buffer;
+    litpad/seq slots are already 128-aligned per stream)."""
+    total_src = sum(dp._align(p.src.size) for p in plans)
+    src = np.zeros(max(dp._align(total_src), LANES), np.uint8)
+    merged = dp.BatchPlan(src=src, out_cap=plans[0].out_cap)
+    src_base = lit_base = seq_base = 0
+    for p in plans:
+        src[src_base : src_base + p.src.size] = p.src
+        for hs in p.huff_streams:
+            merged.huff_streams.append(dataclasses.replace(
+                hs, byte_lo=hs.byte_lo + src_base,
+                out_base=hs.out_base + lit_base))
+        for ss in p.seq_streams:
+            merged.seq_streams.append(dataclasses.replace(
+                ss, byte_lo=ss.byte_lo + src_base,
+                out_base=ss.out_base + seq_base))
+        for fp in p.frames:
+            blocks = []
+            for bp in fp.blocks:
+                kinds, srcs, ends = list(bp.piece_kind), list(bp.piece_src), list(bp.piece_end)
+                for k, kind in enumerate(kinds):
+                    if kind == dp.PIECE_RAW:
+                        srcs[k] += src_base
+                    elif kind == dp.PIECE_HUFF:
+                        srcs[k] += lit_base
+                blocks.append(dp.BlockPlan(
+                    bp.n_seq,
+                    bp.seq_out_base + seq_base if bp.seq_out_base >= 0 else -1,
+                    bp.lit_total, kinds, srcs, ends))
+            merged.frames.append(dataclasses.replace(fp, blocks=blocks))
+        src_base += dp._align(p.src.size)
+        lit_base += p.litpad_size
+        seq_base += p.seq_size
+    merged.litpad_size = max(lit_base, LANES)
+    merged.seq_size = max(seq_base, LANES)
+    return merged
 
 
 def _pack_huff(plan: dp.BatchPlan):
@@ -219,40 +273,40 @@ def decode_batch(items, out_cap: int = OUT_CAP, verify_checksums: bool = True):
     if out_cap > OUT_CAP:
         raise ValueError(f"device zstd tier caps frames at {OUT_CAP} bytes")
     outs: list = [None] * len(items)
-    pending: list[int] = []
+    batch: list = []  # (item index, solo plan)
+    usage = (0,) * len(_LIMITS)
 
-    def flush(idx_list):
-        if not idx_list:
+    def flush():
+        if not batch:
             return
-        plan = dp.plan_batch([items[i] for i in idx_list], out_cap)
+        plan = _merge_plans([p for _, p in batch])
         out_n, out_len_n, ok_n = _decode_plan(plan)
         bad = np.nonzero(~ok_n)[0]
         if bad.size:
             raise MalformedInputException(
-                idx_list[int(bad[0])], "malformed zstd frame in device batch")
-        for j, i in enumerate(idx_list):
+                batch[int(bad[0])][0], "malformed zstd frame in device batch")
+        for j, (i, _) in enumerate(batch):
             outs[i] = out_n[j, : out_len_n[j]].tobytes()
         if verify_checksums:
-            for j, i in enumerate(idx_list):
-                fp = plan.frames[j]
-                if fp.has_checksum:
-                    from ..xxhash import xxh64
+            from ..xxhash import xxh64
 
-                    if (xxh64(outs[i]) & 0xFFFFFFFF) != fp.checksum:
-                        raise MalformedInputException(
-                            i, "frame checksum mismatch (device decode)")
+            for j, (i, _) in enumerate(batch):
+                fp = plan.frames[j]
+                if fp.has_checksum and (xxh64(outs[i]) & 0xFFFFFFFF) != fp.checksum:
+                    raise MalformedInputException(
+                        i, "frame checksum mismatch (device decode)")
 
     for i, item in enumerate(items):
-        trial = pending + [i]
-        plan = dp.plan_batch([items[k] for k in trial], out_cap)
-        if _fits(plan):
-            pending = trial
-            continue
         solo = dp.plan_batch([item], out_cap)
-        if not _fits(solo):
+        u = _usage(solo)
+        if not _fits(u):
             outs[i] = _host_decode_one(item, out_cap)  # geometry overflow
             continue
-        flush(pending)
-        pending = [i]
-    flush(pending)
+        summed = tuple(a + b for a, b in zip(usage, u))
+        if batch and not _fits(summed):
+            flush()
+            batch, usage, summed = [], (0,) * len(_LIMITS), u
+        batch.append((i, solo))
+        usage = summed
+    flush()
     return outs

@@ -196,6 +196,7 @@ def huffman_decode(iters, params, src_rows, out_rows: int, interpret: bool):
             jax.ShapeDtypeStruct((G, 8, LANES), I32),
         ),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(iters.astype(I32), params.astype(I32), src_rows)
     return out, meta[:, :, 0].reshape(-1)
 
@@ -420,6 +421,7 @@ def fse_sequences(iters, params, tabs, info, srcw_rows, seq_rows: int,
             jax.ShapeDtypeStruct((G, 8, LANES), I32),
         ),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(iters.astype(I32), params.astype(I32), tabs.astype(I32),
       info.astype(I32), srcw_rows)
     return (ll, ml, of, meta[:, :, 0].reshape(-1), meta[:, :, 1].reshape(-1))
@@ -660,6 +662,7 @@ def execute(iters, frames, desc, seq_ll, seq_ml, seq_of, litpad, src_rows,
             jax.ShapeDtypeStruct((F, 8, LANES), I32),
         ),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(iters.astype(I32), frames.astype(I32).reshape(F, 1, LANES),
       desc.astype(I32), seq_ll, seq_ml, seq_of, litpad, src_rows)
     out_len = meta[:, 0, 0]

@@ -29,9 +29,9 @@ def _snappy_decode():
     import jax
 
     if jax.default_backend() == "tpu":
-        from . import snappy_pallas
+        from . import snappy_pallas8
 
-        return snappy_pallas.decode
+        return snappy_pallas8.decode
     from . import snappy_jax
 
     return snappy_jax.decode

@@ -1,22 +1,83 @@
 """Bzip2 codec family (reference: bzip2/ package, 3678 LoC).
 
-The reference carries its own Java bzip2 (CBZip2OutputStream/InputStream,
-Burrows–Wheeler + MTF + RLE + canonical Huffman) solely for Hadoop
-compatibility — streams only, no block Compressor/Decompressor API
-(reference: SURVEY.md §2.5). Here the entropy engine is the system libbz2
-via the stdlib ``bz2`` module (same library the reference downloads,
-bin/download.sh libbz2 1.0.8); the stream classes add the incremental and
-Hadoop-facing semantics (finish-without-close, header handling).
+Two tiers, mirroring the reference's own-Java + native split:
+
+- **own engine** (`block_ref.py`): from-scratch RLE1 + Burrows–Wheeler +
+  MTF + RLE2 + multi-table canonical Huffman, the counterpart of the
+  reference's CBZip2OutputStream/CBZip2InputStream (2014 + 1255 LoC Java);
+- **native tier**: the system libbz2 via stdlib ``bz2`` (the same library
+  the reference downloads, bin/download.sh libbz2 1.0.8), used by the
+  streaming classes and preferred by :func:`create_compressor` unless
+  ``AIRCOMPRESSOR_TPU_DISABLE_NATIVE`` is set.
+
+The reference exposes bzip2 as streams only (no block API — SURVEY §2.5);
+the stream classes here add the same Hadoop-facing semantics
+(finish-without-close, concatenated streams).
 """
 
 from __future__ import annotations
 
 import bz2
 import io
+import os
 
 from ..errors import MalformedInputException
 
 DEFAULT_BLOCK_SIZE_100K = 9  # "BZh9" — reference CBZip2OutputStream default
+
+
+def _native_disabled() -> bool:
+    return bool(os.environ.get("AIRCOMPRESSOR_TPU_DISABLE_NATIVE"))
+
+
+class BZip2RefCompressor:
+    """Own-engine .bz2 stream compressor (block_ref pipeline)."""
+
+    def __init__(self, block_size_100k: int = DEFAULT_BLOCK_SIZE_100K):
+        self.block_size_100k = block_size_100k
+
+    def compress(self, data: bytes) -> bytes:
+        from . import block_ref
+
+        return block_ref.compress(data, self.block_size_100k)
+
+
+class BZip2RefDecompressor:
+    """Own-engine .bz2 stream decompressor (block_ref pipeline)."""
+
+    def decompress(self, data: bytes) -> bytes:
+        from . import block_ref
+
+        return block_ref.decompress(data)
+
+
+class BZip2NativeCompressor:
+    def __init__(self, block_size_100k: int = DEFAULT_BLOCK_SIZE_100K):
+        self.block_size_100k = block_size_100k
+
+    def compress(self, data: bytes) -> bytes:
+        return bz2.compress(data, self.block_size_100k)
+
+
+class BZip2NativeDecompressor:
+    def decompress(self, data: bytes) -> bytes:
+        try:
+            return bz2.decompress(data)
+        except (OSError, ValueError) as e:
+            raise MalformedInputException(0, f"bzip2: {e}") from e
+
+
+def create_compressor(block_size_100k: int = DEFAULT_BLOCK_SIZE_100K):
+    """Native-first factory (pattern: reference per-codec ``create()``)."""
+    if _native_disabled():
+        return BZip2RefCompressor(block_size_100k)
+    return BZip2NativeCompressor(block_size_100k)
+
+
+def create_decompressor():
+    if _native_disabled():
+        return BZip2RefDecompressor()
+    return BZip2NativeDecompressor()
 
 
 class BZip2OutputStream(io.RawIOBase):
@@ -122,6 +183,12 @@ def decompress_stream(data: bytes) -> bytes:
 __all__ = [
     "BZip2OutputStream",
     "BZip2InputStream",
+    "BZip2RefCompressor",
+    "BZip2RefDecompressor",
+    "BZip2NativeCompressor",
+    "BZip2NativeDecompressor",
+    "create_compressor",
+    "create_decompressor",
     "compress_stream",
     "decompress_stream",
     "DEFAULT_BLOCK_SIZE_100K",

@@ -108,37 +108,52 @@ def _match_lengths(w8: np.ndarray, pos: np.ndarray, cand: np.ndarray, n: int,
     return mlen
 
 
-def find_sequences(block: np.ndarray):
+def find_sequences(block: np.ndarray, params=None):
     """Returns (lit_lens, offsets, match_lens, literals) arrays.
 
     Concatenating per sequence [literals run, match] then trailing literals
     reproduces ``block``. offsets are REAL distances (not wire values).
+
+    ``params`` (zstd/params.CompressionParameters) tunes the matcher: hash
+    width, predecessor-chain depth per hash, and whether the long (8-byte)
+    hash runs — the own tier's level axis (reference analogue:
+    CompressionParameters.compute, zstd/CompressionParameters.java:256-299).
     """
     n = block.size
     empty = (np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64))
     if n < MIN_MATCH + TAIL_MARGIN + 8:
         return (*empty, block.copy())
+    if params is None:
+        from .params import compute
+
+        params = compute(3, n)
+    hash_log = min(params.hash_log, 30)
 
     w8 = _u64_windows(block)
     limit = n - TAIL_MARGIN  # last position allowed to start a match
 
     # dfast-style two hash lengths (reference: DoubleFastBlockCompressor's
-    # long/short tables) + a second-previous candidate for chain depth 2
+    # long/short tables); each hash contributes its depth-1..depth-k
+    # predecessors — depth-d links fall out of the SAME stable argsort
+    # (order[i] ↔ order[i-d] when d consecutive hash-equal flags hold)
     w5 = w8[:limit] & np.uint64(0xFFFFFFFFFF)
-    h5 = (w5 * np.uint64(0x9E3779B185EBCA87)) >> np.uint64(64 - HASH_LOG)
-    h8 = (w8[:limit] * np.uint64(0xCF1BBCDCB7A56463)) >> np.uint64(64 - HASH_LOG)
+    hashes = [(w5 * np.uint64(0x9E3779B185EBCA87)) >> np.uint64(64 - hash_log)]
+    depths = [params.depth]
+    if params.use_long_hash:
+        hashes.append(
+            (w8[:limit] * np.uint64(0xCF1BBCDCB7A56463)) >> np.uint64(64 - hash_log))
+        depths.append(max(1, params.depth // 2))
     cands = []
-    for h, depth2 in ((h5, True), (h8, False)):
+    for h, depth in zip(hashes, depths):
         order = np.argsort(h, kind="stable")
-        prev = np.full(limit, -1, dtype=np.int64)
         same = h[order[1:]] == h[order[:-1]]
-        prev[order[1:][same]] = order[:-1][same]
-        cands.append(prev)
-        if depth2:
-            prev2 = np.full(limit, -1, dtype=np.int64)
-            same2 = same[1:] & same[:-1]
-            prev2[order[2:][same2]] = order[:-2][same2]
-            cands.append(prev2)
+        win = same
+        for d in range(1, depth + 1):
+            prev_d = np.full(limit, -1, dtype=np.int64)
+            prev_d[order[d:][win]] = order[:-d][win]
+            cands.append(prev_d)
+            if d < depth:
+                win = win[1:] & same[: limit - 1 - d]
 
     breaks = _PeriodBreaks(block)
     best_len = np.zeros(limit, dtype=np.int64)

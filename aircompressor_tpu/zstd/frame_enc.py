@@ -154,10 +154,14 @@ def _block_header(last: int, btype: int, size: int) -> bytes:
 def compress(src: np.ndarray, dst: np.ndarray, level: int = 3) -> int:
     """Compress ``src`` into ``dst`` as one zstd frame; returns bytes written.
 
-    ``level`` is accepted for interface parity; this tier implements the
-    default level-3 pipeline only (reference parity:
-    zstd/ZstdCompressor.java:25-43 — Java path supports level 3 only).
+    ``level`` resolves through the own tier's level table
+    (zstd/params.compute — reference: CompressionParameters.compute,
+    zstd/CompressionParameters.java:256-299) to match-finder depth/width;
+    the entropy pipeline is shared across levels (like the reference's
+    single DFAST strategy, zstd/ZstdCompressor.java:25-43).
     """
+    from .params import compute as _params
+
     n = src.size
     out = bytearray()
     out += int(MAGIC).to_bytes(4, "little")
@@ -165,7 +169,7 @@ def compress(src: np.ndarray, dst: np.ndarray, level: int = 3) -> int:
 
     # sequence production over the WHOLE input (single-segment window),
     # then blocks are emitted per ≤128KB of regenerated output
-    ll, offsets, ml, literals = block_enc.find_sequences(src)
+    ll, offsets, ml, literals = block_enc.find_sequences(src, _params(level, n))
     blocks = _partition_blocks(src, ll, offsets, ml, literals)
     if not blocks:
         out += _block_header(1, C.RAW_BLOCK, 0)

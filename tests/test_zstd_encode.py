@@ -84,3 +84,27 @@ def test_content_size_header():
         comp = ZstdRefCompressor().compress(data)
         assert ZstdDecompressor.get_decompressed_size(comp) == n
         assert ZstdRefDecompressor().decompress(comp, n) == data
+
+
+def test_ref_tier_level_table():
+    """Levels now change matcher behavior on the own tier (params.compute —
+    reference analogue: CompressionParameters.compute). Sizes must be
+    monotone and every level's output must decode by the oracle."""
+    data = open("/root/reference/testdata/urls.10K", "rb").read()[:120_000]
+    sizes = {}
+    for level in (1, 3, 9, 19):
+        blob = frame_enc.compress_bytes(data, level)
+        assert oracles.zstd_decompress(blob, len(data)) == data
+        assert ZstdRefDecompressor().decompress(blob, len(data)) == data
+        sizes[level] = len(blob)
+    assert sizes[19] <= sizes[9] <= sizes[3] <= sizes[1], sizes
+
+
+def test_level_params_shrink_for_small_inputs():
+    from aircompressor_tpu.zstd.params import compute
+
+    big = compute(19, 1 << 22)
+    small = compute(19, 4096)
+    assert small.hash_log < big.hash_log
+    assert small.window_log <= big.window_log
+    assert compute(0, 1000).depth == compute(3, 1000).depth  # 0 → default

@@ -188,6 +188,62 @@ class ZstdIncrementalFrameDecompressor:
         self._pending = bytes(buf[pos:])
         return bytes(produced)
 
+    # ---- caller-buffer contract (parity: reference
+    # ZstdIncrementalFrameDecompressor.java:79-97 — getInputRequired /
+    # getInputConsumed / getOutputBufferUsed / getRequestedOutputSize /
+    # isAtStoppingPoint)
+
+    _backlog: bytes = b""
+    input_consumed: int = 0
+    output_buffer_used: int = 0
+
+    @property
+    def requested_output_size(self) -> int:
+        """Output space the next call wants: the internal backlog if any,
+        else a block-sized default (the reference requests the current
+        block's regenerated size; one MAX_BLOCK covers any block)."""
+        return len(self._backlog) if self._backlog else C.MAX_BLOCK_SIZE
+
+    def is_at_stopping_point(self) -> bool:
+        """True between frames with nothing buffered — the caller may stop
+        feeding input here without losing data."""
+        return (self._state is _State.READ_FRAME_MAGIC
+                and not self._pending and not self._backlog)
+
+    def partial_decompress_into(self, data: bytes, out, out_off: int,
+                                out_limit: int) -> None:
+        """Decompress into the CALLER's buffer slice ``out[out_off:out_limit]``.
+
+        Consumes input only while output space remains (when the buffer
+        fills, remaining decoded bytes are held in an internal backlog and
+        ``input_consumed`` reports 0 for subsequent calls until drained).
+        After the call: ``input_consumed`` = bytes of ``data`` accepted,
+        ``output_buffer_used`` = bytes written at ``out_off``,
+        ``input_required`` / ``requested_output_size`` describe the next
+        call's needs.
+        """
+        if out_limit > len(out):
+            raise ValueError("output limit beyond buffer")
+        space = out_limit - out_off
+        written = 0
+        if self._backlog:
+            take = min(space, len(self._backlog))
+            out[out_off : out_off + take] = self._backlog[:take]
+            self._backlog = self._backlog[take:]
+            written = take
+            space -= take
+        if self._backlog or space == 0:
+            # output-blocked: refuse the input so the caller re-presents it
+            self.input_consumed = 0
+            self.output_buffer_used = written
+            return
+        produced = self.partial_decompress(data)
+        self.input_consumed = len(data)
+        take = min(space, len(produced))
+        out[out_off + written : out_off + written + take] = produced[:take]
+        self._backlog = produced[take:]
+        self.output_buffer_used = written + take
+
 
 class ZstdInputStream(io.RawIOBase):
     """Streaming reader (reference: zstd/ZstdInputStream.java)."""

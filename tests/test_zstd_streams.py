@@ -11,6 +11,7 @@ import pytest
 
 import oracles
 from aircompressor_tpu.errors import MalformedInputException
+from aircompressor_tpu.zstd.frame_enc import compress_bytes
 from aircompressor_tpu.zstd.streams import (
     ZstdIncrementalFrameDecompressor,
     ZstdInputStream,
@@ -105,3 +106,53 @@ def test_all_frame_checksums_verified():
     blob = compress_stream(data, level=3)
     # sanity: our frames carry checksums (frame header checksum flag)
     assert decompress_stream(blob) == data
+
+
+def test_partial_decompress_into_minimum_feeds():
+    """Drive the caller-buffer contract the way the reference's
+    ZstdPartialDecompressor test helper does (AbstractTestZstd pattern):
+    feed exactly input_required bytes per step and give a small output
+    window, honoring input_consumed / output_buffer_used /
+    requested_output_size."""
+    data = open("/root/reference/testdata/urls.10K", "rb").read()[:80_000]
+    blob = compress_bytes(data)
+    dec = ZstdIncrementalFrameDecompressor()
+    out = bytearray(len(data))
+    out_pos = 0
+    in_pos = 0
+    while in_pos < len(blob) or not dec.is_at_stopping_point():
+        feed = blob[in_pos : in_pos + max(dec.input_required, 1)]
+        window = min(out_pos + 777, len(out))  # deliberately small slices
+        dec.partial_decompress_into(feed, out, out_pos, window)
+        out_pos += dec.output_buffer_used
+        if dec.input_consumed == 0 and dec.output_buffer_used == 0:
+            # output-blocked with a full window: widen
+            assert dec.requested_output_size > 0
+            window = len(out)
+            dec.partial_decompress_into(b"", out, out_pos, window)
+            out_pos += dec.output_buffer_used
+            continue
+        in_pos += dec.input_consumed
+    assert in_pos == len(blob)
+    assert bytes(out[:out_pos]) == data
+    assert dec.is_at_stopping_point()
+
+
+def test_partial_decompress_into_output_blocked():
+    data = b"zstd incremental contract " * 3000
+    blob = compress_bytes(data)
+    dec = ZstdIncrementalFrameDecompressor()
+    out = bytearray(len(data))
+    # feed EVERYTHING but give almost no output space: input must be
+    # refused (input_consumed == 0) while the backlog drains
+    dec.partial_decompress_into(blob, out, 0, 100)
+    assert dec.output_buffer_used == 100
+    got = 100
+    fed_again = 0
+    while got < len(data):
+        dec.partial_decompress_into(b"extra-ignored", out, got,
+                                    min(got + 4096, len(out)))
+        if dec.input_consumed:
+            fed_again += 1  # only allowed once backlog fully drained
+        got += dec.output_buffer_used
+    assert bytes(out) == data

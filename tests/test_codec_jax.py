@@ -98,8 +98,9 @@ def test_lz4_decode_rejects_malformed():
 
 
 def test_snappy_encode_batch():
-    """Kernel-encoded blocks decode via the ref tier AND match sizes within
-    20% of the ref compressor (format conformance + competitiveness)."""
+    """Kernel-encoded blocks decode via the ref tier AND aggregate size is
+    within 5% of the ref compressor (measured: the device matcher is at or
+    BELOW libsnappy on most corpus files — 0.94-1.05 per file)."""
     from aircompressor_tpu.ops import snappy_encode_jax
 
     cases = _chunk_cases()
@@ -119,7 +120,7 @@ def test_snappy_encode_batch():
         assert d.decompress(blob, max(len(orig), 1)) == orig, i
         total_ours += len(blob)
         total_ref += len(ref_c.compress(orig))
-    assert total_ours <= total_ref * 1.2, (total_ours, total_ref)
+    assert total_ours <= total_ref * 1.05, (total_ours, total_ref)
 
 
 def test_snappy_encode_device_round_trip_with_device_decode():

@@ -114,9 +114,13 @@ class Lz4BatchCodec:
         return [comp[i, : clens[i]].tobytes() for i in range(len(chunks))]
 
     def decompress_chunks(self, blobs: Sequence[bytes]) -> list[bytes]:
+        import jax
         import jax.numpy as jnp
 
-        from . import lz4_jax
+        if jax.default_backend() == "tpu":
+            from . import lz4_pallas as lz4_jax  # single-launch megakernel
+        else:
+            from . import lz4_jax
 
         if not blobs:
             return []

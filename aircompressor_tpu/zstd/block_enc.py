@@ -56,15 +56,20 @@ class _PeriodBreaks:
     def get(self, d: int) -> np.ndarray:
         brk = self._cache.get(d)
         if brk is None:
-            block = self._block
-            n = block.size
-            brk = np.full(n, n, dtype=np.int64)
-            neq = block[d:] != block[:-d]
-            b = np.where(neq, np.arange(d, n, dtype=np.int64), n)
-            # suffix minimum → first break at or after x
-            brk[d:] = np.minimum.accumulate(b[::-1])[::-1]
-            brk[:d] = brk[d] if n > d else n
-            self._cache[d] = brk
+            brk = self._compute(d)
+            if d <= 8:  # only the small-distance path repeats across calls
+                self._cache[d] = brk
+        return brk
+
+    def _compute(self, d: int) -> np.ndarray:
+        block = self._block
+        n = block.size
+        brk = np.full(n, n, dtype=np.int64)
+        neq = block[d:] != block[:-d]
+        b = np.where(neq, np.arange(d, n, dtype=np.int64), n)
+        # suffix minimum → first break at or after x
+        brk[d:] = np.minimum.accumulate(b[::-1])[::-1]
+        brk[:d] = brk[d] if n > d else n
         return brk
 
 
@@ -86,9 +91,35 @@ def _match_lengths(w8: np.ndarray, pos: np.ndarray, cand: np.ndarray, n: int,
                 m[dd] = breaks.get(d)[pos[si[dd]]] - pos[si[dd]]
         mlen[si] = np.minimum(np.maximum(m, 0), hard_cap[si])
 
-    active = ~small
-    while np.any(active):
-        ai = np.nonzero(active)[0]
+    # the index set COMPACTS each round: per-round cost tracks the still-
+    # growing candidates only.  Matches that survive LONG_ROUNDS word rounds
+    # (≥ 8*LONG_ROUNDS bytes) switch to the _PeriodBreaks closed form, which
+    # is valid for ANY distance (one O(n) pass per distinct distance) — this
+    # bounds total work even when thousands of candidates share multi-KB
+    # matches (e.g. whole-corpus repetition).
+    LONG_ROUNDS = 4
+    ai = np.nonzero(~small)[0]
+    rounds = 0
+    while ai.size:
+        if rounds >= LONG_ROUNDS:
+            d_act = dist[ai]
+            uniq, counts = np.unique(d_act, return_counts=True)
+            # closed-form the popular distances (cost amortizes); cap the
+            # number of O(n) passes so adversarial many-distinct-distance
+            # inputs fall back to word rounds below
+            order_u = np.argsort(-counts)
+            budget = 1024
+            for u in order_u[:budget]:
+                d = int(uniq[u])
+                sel = ai[d_act == d]
+                full_len = breaks.get(d)[pos[sel]] - pos[sel]
+                mlen[sel] = np.minimum(np.maximum(full_len, mlen[sel]), hard_cap[sel])
+            if uniq.size <= budget:
+                break
+            keep = ~np.isin(d_act, uniq[order_u[:budget]])
+            ai = ai[keep]
+            if ai.size == 0:
+                break
         p = pos[ai] + mlen[ai]
         c = cand[ai] + mlen[ai]
         x = w8[np.minimum(p, n - 8)] ^ w8[np.minimum(c, n - 8)]
@@ -104,7 +135,8 @@ def _match_lengths(w8: np.ndarray, pos: np.ndarray, cand: np.ndarray, n: int,
                 still = still & byte_eq
                 add += still.astype(np.int64)
             mlen[done] += np.minimum(add, np.maximum(hard_cap[done] - mlen[done], 0))
-            active[done] = False
+        ai = ai[full]
+        rounds += 1
     return mlen
 
 

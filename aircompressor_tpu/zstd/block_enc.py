@@ -31,6 +31,15 @@ MIN_MATCH = 4
 TAIL_MARGIN = 12
 MAX_MATCH_CAP = 1 << 17
 
+# _match_lengths long-match policy: survivors of LONG_ROUNDS 8-byte word
+# rounds may resolve via a _PeriodBreaks closed form, ONE O(n) pass per
+# distinct distance — taken only when ≥ CF_MIN survivors share the distance
+# (amortizes the pass) and at most CF_BUDGET passes per call (bounds
+# adversarial many-distinct-distance inputs).
+LONG_ROUNDS = 8
+CF_MIN = 1024  # measured: word rounds beat an O(n) pass below ~1K sharers
+CF_BUDGET = 64
+
 
 def _u64_windows(block: np.ndarray) -> np.ndarray:
     """w8[i] = little-endian u64 read at i, for i in [0, n-8]."""
@@ -52,6 +61,7 @@ class _PeriodBreaks:
     def __init__(self, block: np.ndarray):
         self._block = block
         self._cache: dict[int, np.ndarray] = {}
+        self._idx = np.arange(block.size, dtype=np.int32)
 
     def get(self, d: int) -> np.ndarray:
         brk = self._cache.get(d)
@@ -64,9 +74,9 @@ class _PeriodBreaks:
     def _compute(self, d: int) -> np.ndarray:
         block = self._block
         n = block.size
-        brk = np.full(n, n, dtype=np.int64)
+        brk = np.empty(n, dtype=np.int32)
         neq = block[d:] != block[:-d]
-        b = np.where(neq, np.arange(d, n, dtype=np.int64), n)
+        b = np.where(neq, self._idx[d:], np.int32(n))
         # suffix minimum → first break at or after x
         brk[d:] = np.minimum.accumulate(b[::-1])[::-1]
         brk[:d] = brk[d] if n > d else n
@@ -93,33 +103,35 @@ def _match_lengths(w8: np.ndarray, pos: np.ndarray, cand: np.ndarray, n: int,
 
     # the index set COMPACTS each round: per-round cost tracks the still-
     # growing candidates only.  Matches that survive LONG_ROUNDS word rounds
-    # (≥ 8*LONG_ROUNDS bytes) switch to the _PeriodBreaks closed form, which
-    # is valid for ANY distance (one O(n) pass per distinct distance) — this
-    # bounds total work even when thousands of candidates share multi-KB
-    # matches (e.g. whole-corpus repetition).
-    LONG_ROUNDS = 4
+    # (≥ 8*LONG_ROUNDS bytes) MAY switch to the _PeriodBreaks closed form,
+    # which is valid for ANY distance — but each distinct distance costs one
+    # O(n) pass, so it only pays when ≥ CF_MIN survivors share the distance
+    # (the pathological case: thousands of candidates inside one multi-KB
+    # repetition).  Low-count distances keep word-extending: their total
+    # work is Σ mlen/8 small-indexed ops, cheaper than an O(n) pass each.
     ai = np.nonzero(~small)[0]
     rounds = 0
+    cf_left = CF_BUDGET
     while ai.size:
-        if rounds >= LONG_ROUNDS:
+        if rounds >= LONG_ROUNDS and cf_left and ai.size >= CF_MIN:
             d_act = dist[ai]
             uniq, counts = np.unique(d_act, return_counts=True)
-            # closed-form the popular distances (cost amortizes); cap the
-            # number of O(n) passes so adversarial many-distinct-distance
-            # inputs fall back to word rounds below
-            order_u = np.argsort(-counts)
-            budget = 1024
-            for u in order_u[:budget]:
-                d = int(uniq[u])
-                sel = ai[d_act == d]
-                full_len = breaks.get(d)[pos[sel]] - pos[sel]
-                mlen[sel] = np.minimum(np.maximum(full_len, mlen[sel]), hard_cap[sel])
-            if uniq.size <= budget:
-                break
-            keep = ~np.isin(d_act, uniq[order_u[:budget]])
-            ai = ai[keep]
-            if ai.size == 0:
-                break
+            heavy = uniq[counts >= CF_MIN]
+            if heavy.size:
+                order_u = np.argsort(-counts[counts >= CF_MIN])
+                resolved = np.zeros(ai.size, dtype=bool)
+                for u in order_u[:cf_left]:
+                    d = int(heavy[u])
+                    sel = d_act == d
+                    idx = ai[sel]
+                    full_len = breaks.get(d)[pos[idx]] - pos[idx]
+                    mlen[idx] = np.minimum(
+                        np.maximum(full_len, mlen[idx]), hard_cap[idx])
+                    resolved |= sel
+                cf_left -= min(heavy.size, cf_left)
+                ai = ai[~resolved]
+                if ai.size == 0:
+                    break
         p = pos[ai] + mlen[ai]
         c = cand[ai] + mlen[ai]
         x = w8[np.minimum(p, n - 8)] ^ w8[np.minimum(c, n - 8)]

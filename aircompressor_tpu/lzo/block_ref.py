@@ -243,17 +243,21 @@ def _find_matches(src: np.ndarray):
     pos, cand = pos[keep], cand[keep]
     if pos.size == 0:
         return seqs
-    mlen = np.full(pos.size, 4, dtype=np.int64)
+    # common-prefix lengths via the shared zstd machinery (8-byte word
+    # rounds + closed-form long-match resolution, zstd/block_enc.py) —
+    # byte-at-a-time extension is O(run²) on repetitive inputs
+    from ..zstd import block_enc as _zb
+
     hard_cap = np.minimum(np.int64(limit) - pos, 1 << 14)
-    active = mlen < hard_cap
-    while np.any(active):
-        ai = np.nonzero(active)[0]
-        p = pos[ai] + mlen[ai]
-        c = cand[ai] + mlen[ai]
-        eq = src[np.minimum(p, n - 1)] == src[np.minimum(c, n - 1)]
-        go = eq & (mlen[ai] < hard_cap[ai])
-        mlen[ai[go]] += 1
-        active[ai] = go
+    w8 = _zb._u64_windows(src)
+    mlen = _zb._match_lengths(w8, pos, cand, n, _zb._PeriodBreaks(src),
+                              hard_cap=hard_cap)
+    short = mlen < 4  # w4 equality guarantees ≥4; keep the invariant
+    if np.any(short):
+        keepm = ~short
+        pos, cand, mlen = pos[keepm], cand[keepm], mlen[keepm]
+        if pos.size == 0:
+            return seqs
     cur = 0
     k = pos.size
     while True:

@@ -84,12 +84,19 @@ class _PeriodBreaks:
 
 
 def _match_lengths(w8: np.ndarray, pos: np.ndarray, cand: np.ndarray, n: int,
-                   breaks: "_PeriodBreaks") -> np.ndarray:
+                   breaks: "_PeriodBreaks",
+                   hard_cap: np.ndarray | None = None) -> np.ndarray:
     """Vectorized common-prefix lengths: closed form for dist ≤ 8, 8-byte
-    word extension rounds for the rest (total work ∝ Σ match length / 8)."""
+    word extension rounds for the rest (total work ∝ Σ match length / 8).
+
+    Shared by the zstd and LZO matchers (lzo/block_ref.py passes its own
+    ``hard_cap`` for the LZO format's margin and 16KB length limit)."""
     mlen = np.zeros(pos.size, dtype=np.int64)
     dist = pos - cand
-    hard_cap = np.minimum(np.int64(n - 8) - pos, MAX_MATCH_CAP)
+    if hard_cap is None:
+        hard_cap = np.minimum(np.int64(n - 8) - pos, MAX_MATCH_CAP)
+    else:
+        hard_cap = np.minimum(hard_cap, np.int64(n - 8) - pos)
 
     small = dist <= 8
     if np.any(small):

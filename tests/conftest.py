@@ -99,7 +99,7 @@ def synthetic_cases() -> list[tuple[str, bytes]]:
 def corpus():
     if not has_testdata():
         pytest.skip("reference testdata not available")
-    return corpus_files(limit_bytes=150_000)
+    return corpus_files(limit_bytes=600_000)
 
 
 @pytest.fixture(scope="session")

@@ -29,7 +29,7 @@ from aircompressor_tpu.xxhash import xxh3_64, xxh3_128, xxh3_is_enabled
 
 
 class TestDeflateRef(CodecSuite):
-    max_len = 150_000
+    max_len = 600_000
 
     def make_compressor(self):
         return DeflateRefCompressor()
@@ -49,7 +49,7 @@ class TestDeflateRef(CodecSuite):
 
 
 class TestDeflateNative(CodecSuite):
-    max_len = 150_000
+    max_len = 600_000
     # libdeflate at the same numeric level beats zlib slightly; either way
     # both must stay close
     oracle_size_slack = 1.05

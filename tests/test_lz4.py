@@ -17,7 +17,7 @@ from codec_suite import CodecSuite
 
 
 class TestLz4Block(CodecSuite):
-    max_len = 120_000
+    max_len = 600_000
 
     def make_compressor(self):
         return Lz4RefCompressor()
@@ -46,7 +46,7 @@ class TestLz4Block(CodecSuite):
 
 
 class TestLz4Frame(CodecSuite):
-    max_len = 120_000
+    max_len = 600_000
 
     def make_compressor(self):
         return Lz4FrameCompressor(Lz4RefCompressor())

@@ -17,7 +17,7 @@ GOLDEN_DIR = "/root/reference/src/test/resources/data/lzo"
 
 
 class TestLzoBlock(CodecSuite):
-    max_len = 150_000
+    max_len = 600_000
 
     def make_compressor(self):
         return LzoCompressor()

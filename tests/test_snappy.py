@@ -24,7 +24,7 @@ from codec_suite import CodecSuite
 
 
 class TestSnappyBlock(CodecSuite):
-    max_len = 150_000
+    max_len = 600_000
 
     def make_compressor(self):
         return SnappyRefCompressor()

@@ -19,7 +19,7 @@ from aircompressor_tpu.zstd import (
 
 
 class TestZstdRef(CodecSuite):
-    max_len = 150_000
+    max_len = 600_000  # >128KB: every corpus file exercises _partition_blocks
     # dual-hash matcher beats libzstd-3 in aggregate; per-file variance only
     oracle_size_slack = 1.03
 
@@ -46,6 +46,39 @@ def test_multi_block_frames(corpus):
     d = ZstdRefDecompressor()
     for name, data in corpus:
         data = (data * 4)[:400_000]
+        comp = ZstdRefCompressor().compress(data)
+        assert oracles.zstd_decompress(comp, len(data)) == data, name
+        assert d.decompress(comp, len(data)) == data, name
+
+
+@pytest.mark.skipif(oracles.zstd_module() is None, reason="zstandard unavailable")
+def test_block_seam_adversarial():
+    """Sequences straddling the 128KB block partition seams
+    (frame_enc._partition_blocks splits matches/literals at block
+    boundaries; reference keeps one window across blocks,
+    ZstdFrameCompressor single-segment mode). Each case targets one
+    seam-crossing shape; decode via libzstd AND our own decoder."""
+    rng = np.random.default_rng(42)
+    X80 = rng.integers(0, 256, 80_000, dtype=np.uint8).tobytes()
+    X100 = rng.integers(0, 256, 100_000, dtype=np.uint8).tobytes()
+    Y = rng.integers(0, 256, 10_000, dtype=np.uint8).tobytes()
+    filler = rng.integers(0, 256, 125_000, dtype=np.uint8).tobytes()
+    cases = {
+        # 80KB match starting at 80_000, crossing the 131072 seam mid-match
+        "match-crosses-seam": X80 + X80,
+        # match starts just before the seam, source in block 0
+        "match-starts-at-seam": X100 + b"z" * 31_000 + X100,
+        # match in block 1 whose OFFSET reaches back into block 0
+        "offset-across-seam": Y + filler + Y + Y,
+        # literal run crossing the seam (incompressible)
+        "literals-cross-seam": (X100 + X80 + Y)[:200_000],
+        # RLE run spanning two seams
+        "rle-spans-seams": b"Q" * 300_000,
+        # periodic data: overlapping-copy sequences at every seam
+        "periodic-spans-seams": b"abcdefg" * 43_000,
+    }
+    d = ZstdRefDecompressor()
+    for name, data in cases.items():
         comp = ZstdRefCompressor().compress(data)
         assert oracles.zstd_decompress(comp, len(data)) == data, name
         assert d.decompress(comp, len(data)) == data, name

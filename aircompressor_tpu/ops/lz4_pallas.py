@@ -1,8 +1,8 @@
-"""LZ4 block decode — 8-way sublane-batched Pallas TPU megakernel.
+"""LZ4 block decode — sublane-batched Pallas TPU megakernel (SUB-way).
 
 Format parity: reference lz4/Lz4RawDecompressor.java:35-198 (token = 4-bit
 literal length | 4-bit match length, 255-extension bytes, 2-byte LE offset,
-strict bounds). Same vectorized 8-chunks-per-grid-step architecture as
+strict bounds). Same vectorized SUB-chunks-per-grid-step architecture as
 ops/snappy_pallas8.py (see its docstring for the cost model); the
 difference is the parse machine: LZ4 tokens drive a literal run AND a match
 run per sequence, with unbounded 255-extension byte strings, so each chunk
@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 I32 = jnp.int32
 LANES = 128
-SUB = 8
+SUB = 32
 OUT_ROWS = 512  # 64KB output per chunk
 MAX_OUT = OUT_ROWS * LANES
 
@@ -297,7 +297,7 @@ def _decode_impl(comp, comp_lens, interpret: bool):
 
 
 def decode(comp, comp_lens, out_cap: int = MAX_OUT, with_steps: bool = False):
-    """Decode B lz4 blocks (≤64KB decompressed each), 8 chunks per grid
+    """Decode B lz4 blocks (≤64KB decompressed each), SUB chunks per grid
     step, ONE kernel launch. comp (B, Lc) uint8 zero-padded; comp_lens (B,).
     Returns (out (B, out_cap) uint8, out_lens (B,), ok (B,) bool).
 

@@ -1,18 +1,18 @@
-"""Snappy block decode — 8-way sublane-batched Pallas TPU megakernel.
+"""Snappy block decode — sublane-batched Pallas TPU megakernel (SUB-way).
 
 Format parity: reference snappy/SnappyRawDecompressor.java:30-220 (varint
 length, tag dispatch, strict validation). Same merged parse+emit state
-machine as ops/snappy_pallas.py, but each grid step decodes EIGHT chunks
-at once — one per sublane of (8, 128) state tiles.
+machine as ops/snappy_pallas.py, but each grid step decodes SUB chunks
+at once — one per sublane row of (SUB, 128) state tiles.
 
-Why 8-way: the single-chunk kernel is latency-bound — its loop body is one
+Why sublane-batched: the single-chunk kernel is latency-bound — its loop body is one
 dependency chain of vector ops (~55-110ns each serial, measured), while the
-VPU pipelines *independent* chains almost for free (8 chains cost ~1x, see
-the chains=1 vs chains=8 microbenchmarks). Vectorizing the state machine
+VPU pipelines *independent* chains well (8 chains cost ~1x; 32 chains
+~3x for 4x the work — measured). Vectorizing the state machine
 across sublanes turns 8 chunk decodes into 8 independent chains with
 UNIFORM control flow:
 
-- every per-chunk scalar (ip, op, rem, ...) becomes an (8, 128) i32 tile
+- every per-chunk scalar (ip, op, rem, ...) becomes a (SUB, 128) i32 tile
   with the value replicated across lanes (elementwise updates keep it
   replicated; no broadcasts in the loop);
 - the align+place rotate becomes ONE ``take_along_axis`` over an (8, 256)
@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 I32 = jnp.int32
 LANES = 128
-SUB = 8  # chunks per grid step (one per sublane)
+SUB = 32  # chunks per grid step (4 sublane tiles; see width note below)
 OUT_ROWS = 512  # 64KB output per chunk
 MAX_OUT = OUT_ROWS * LANES
 
@@ -301,11 +301,11 @@ def _decode_impl(comp, comp_lens, interpret: bool):
 
 
 def decode(comp, comp_lens, out_cap: int = MAX_OUT, with_steps: bool = False):
-    """Decode B snappy blocks, 8 chunks per grid step, ONE kernel launch.
+    """Decode B snappy blocks, SUB chunks per grid step, ONE kernel launch.
 
     Same contract as snappy_pallas.decode: comp (B, Lc) uint8 zero-padded
     (with varint prefix), comp_lens (B,) int32; chunks ≤ 64KB decompressed.
-    B is padded to a multiple of 8 internally.
+    B is padded to a multiple of SUB internally.
     """
     assert out_cap <= MAX_OUT
     B, Lc = comp.shape

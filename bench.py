@@ -130,6 +130,11 @@ def device_benchmarks(data: bytes, detail: dict) -> None:
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from aircompressor_tpu.lz4 import Lz4Compressor
     from aircompressor_tpu.ops import (
         lz4_encode_jax,

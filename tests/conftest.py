@@ -11,6 +11,19 @@ import os
 import subprocess
 import sys
 
+# Persistent XLA compilation cache: the Pallas megakernels take tens of
+# seconds to compile and every pytest process would otherwise recompile
+# them from scratch.
+try:
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # noqa: BLE001 - cache is an optimization only
+    pass
+
 
 def cpu_mesh_env(n_devices: int = 8) -> dict:
     """Environment for a subprocess with n virtual CPU jax devices."""

@@ -53,6 +53,16 @@ def _pack(blobs: Sequence[bytes], cap: int):
     return buf, lens
 
 
+def _steps_order(blobs: Sequence[bytes]) -> np.ndarray:
+    """Decode order that groups chunks with similar token counts.
+
+    The megakernels decode SUB chunks per grid step in lockstep, so each
+    grid step costs the MAX loop-iteration count of its group. Compressed
+    length is a good token-count proxy; sorting by it packs stragglers
+    together instead of letting one slow chunk stall 31 fast ones."""
+    return np.argsort(np.asarray([len(b) for b in blobs]), kind="stable")
+
+
 class SnappyBatchCodec:
     """Chunk-parallel Snappy over the device (ops/snappy_jax + encode)."""
 
@@ -79,8 +89,9 @@ class SnappyBatchCodec:
 
         if not blobs:
             return []
+        order = _steps_order(blobs)
         cap = _round_up(max(len(b) for b in blobs) + 1, _COMP_ALIGN)
-        buf, lens = _pack(blobs, cap)
+        buf, lens = _pack([blobs[i] for i in order], cap)
         out, olens, ok = _snappy_decode()(
             jnp.asarray(buf), jnp.asarray(lens), out_cap=self.max_chunk
         )
@@ -89,8 +100,12 @@ class SnappyBatchCodec:
         ok = np.asarray(ok)
         bad = np.nonzero(~ok)[0]
         if bad.size:
-            raise MalformedInputException(int(bad[0]), "malformed snappy chunk in batch")
-        return [out[i, : olens[i]].tobytes() for i in range(len(blobs))]
+            raise MalformedInputException(
+                int(order[bad[0]]), "malformed snappy chunk in batch")
+        res: list[bytes] = [b""] * len(blobs)
+        for row, i in enumerate(order):
+            res[i] = out[row, : olens[row]].tobytes()
+        return res
 
 
 class Lz4BatchCodec:
@@ -124,8 +139,9 @@ class Lz4BatchCodec:
 
         if not blobs:
             return []
+        order = _steps_order(blobs)
         cap = _round_up(max(len(b) for b in blobs) + 1, _COMP_ALIGN)
-        buf, lens = _pack(blobs, cap)
+        buf, lens = _pack([blobs[i] for i in order], cap)
         out, olens, ok = lz4_jax.decode(
             jnp.asarray(buf), jnp.asarray(lens), out_cap=self.max_chunk
         )
@@ -134,8 +150,12 @@ class Lz4BatchCodec:
         ok = np.asarray(ok)
         bad = np.nonzero(~ok)[0]
         if bad.size:
-            raise MalformedInputException(int(bad[0]), "malformed lz4 chunk in batch")
-        return [out[i, : olens[i]].tobytes() for i in range(len(blobs))]
+            raise MalformedInputException(
+                int(order[bad[0]]), "malformed lz4 chunk in batch")
+        res: list[bytes] = [b""] * len(blobs)
+        for row, i in enumerate(order):
+            res[i] = out[row, : olens[row]].tobytes()
+        return res
 
 
 class ZstdBatchCodec:

@@ -208,6 +208,7 @@ def device_benchmarks(data: bytes, detail: dict) -> None:
                 pairs.append((c, b))
             if len(pairs) == DECODE_BATCH:
                 break
+        pairs.sort(key=lambda p: len(p[1]))  # group similar step counts
         B = len(pairs)
         raw_bytes = sum(len(c) for c, _ in pairs)
         detail[f"{name}_device_batch_chunks"] = B

@@ -29,6 +29,7 @@ import numpy as np
 from ..errors import MalformedInputException
 from ..zstd import constants as C
 from ..zstd import device_prep as dp
+from .zstd_pallas import HUFF_SUB, SEQ_SUB
 
 LANES = 128
 
@@ -40,8 +41,8 @@ OUT_CAP = 65536  # per-frame decompressed capacity (the snappy-chunk bound)
 SRC_ROWS = 16896  # 2,162,688 input bytes (>= F * maxCompressedLength(OUT_CAP))
 LIT_ROWS = 16896  # 2,162,688 padded literal slots
 SEQ_ROWS = 5632  # 720,896 sequence slots
-GH = 32  # Huffman stream groups of 8 (256 streams)
-GS = 8  # sequences-section groups of 8 (64 streams)
+GH = 256 // HUFF_SUB  # Huffman stream groups (256 streams total)
+GS = 64 // SEQ_SUB  # sequences-section groups (64 streams total)
 DESC_ROWS = 256  # block descriptors
 
 
@@ -73,7 +74,7 @@ def _usage(plan: dp.BatchPlan) -> tuple:
 
 
 _LIMITS = (SRC_ROWS * LANES - 8, LIT_ROWS * LANES, SEQ_ROWS * LANES,
-           GH * 8, GS * 8, DESC_ROWS, F_PER_LAUNCH)
+           GH * HUFF_SUB, GS * SEQ_SUB, DESC_ROWS, F_PER_LAUNCH)
 
 
 def _fits(usage: tuple) -> bool:
@@ -122,13 +123,13 @@ def _merge_plans(plans: list) -> dp.BatchPlan:
 
 def _pack_huff(plan: dp.BatchPlan):
     iters = np.zeros(GH, np.int32)
-    params = np.zeros((GH * 8, 384), np.int32)
+    params = np.zeros((GH * HUFF_SUB, 384), np.int32)
     # long streams first so group iteration bounds track the real work
     order = sorted(range(len(plan.huff_streams)),
                    key=lambda i: -plan.huff_streams[i].nsym)
     for slot, i in enumerate(order):
         hs = plan.huff_streams[i]
-        g = slot // 8
+        g = slot // HUFF_SUB
         row = params[slot]
         row[0] = hs.byte_lo * 8  # A_BITBASE (bits)
         row[1] = hs.rem_init
@@ -144,13 +145,13 @@ def _pack_huff(plan: dp.BatchPlan):
 
 def _pack_seq(plan: dp.BatchPlan):
     iters = np.zeros(GS, np.int32)
-    params = np.zeros((GS * 8, 128), np.int32)
-    tabs = np.zeros((GS, 10, 8, 128), np.int32)
+    params = np.zeros((GS * SEQ_SUB, 128), np.int32)
+    tabs = np.zeros((GS, 10, SEQ_SUB, 128), np.int32)
     order = sorted(range(len(plan.seq_streams)),
                    key=lambda i: -plan.seq_streams[i].nseq)
     for slot, i in enumerate(order):
         ss = plan.seq_streams[i]
-        g, r = slot // 8, slot % 8
+        g, r = slot // SEQ_SUB, slot % SEQ_SUB
         row = params[slot]
         row[0] = ss.byte_lo * 8  # C_BITBASE (bits)
         row[1] = ss.rem_init
@@ -226,7 +227,7 @@ def _decode_plan(plan: dp.BatchPlan):
         ll, ml, of, litpad, jnp.asarray(src_rows), OUT_CAP // LANES, interpret)
 
     n = len(plan.frames)
-    out_n = np.asarray(out).reshape(F_PER_LAUNCH, OUT_CAP)[:n].astype(np.uint8)
+    out_n = np.asarray(out).reshape(F_PER_LAUNCH, OUT_CAP)[:n]  # u8 on device
     out_len_n = np.asarray(out_len)[:n]
     ok_n = np.asarray(ok)[:n].copy()
     # entropy-stream validation: a fully-consumed backward stream ends rem==0

@@ -44,6 +44,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 I32 = jnp.int32
 LANES = 128
+# Streams per grid step. 8 = one native (8,128) sublane tile. Widening to
+# 32 was measured ~2x/row in isolation but MISCOMPILES on the current
+# Mosaic (bit-exact in interpret mode and at 8; wrong results at 16/32 —
+# see round-2 notes); keep 8 until the lowering is understood.
+HUFF_SUB = 8
+SEQ_SUB = 8
 
 # param lane layout for kernel A (per stream row; lanes 128..383 = perm)
 A_BITBASE, A_REM, A_NSYM, A_OUTROW, A_LOG = 0, 1, 2, 3, 4
@@ -71,44 +77,56 @@ def _srl(x, n):
     return jax.lax.shift_right_logical(x, n)
 
 
+def _gather2(row_a, row_b, idx):
+    """out[r,l] = concat(row_a,row_b,axis=1)[r, idx[r,l]] for idx < 256 —
+    Mosaic gathers cannot cross a 128-lane vreg, so gather each half and
+    select (same split-gather as ops/snappy_pallas8.py)."""
+    m = idx & 127
+    return jnp.where(
+        idx < 128,
+        jnp.take_along_axis(row_a, m, axis=1),
+        jnp.take_along_axis(row_b, m, axis=1),
+    )
+
+
 # =========================================================== kernel A: huffman
 def _huffman_kernel(iters_ref, params_ref, src_ref, out_ref, meta_ref):
     g = pl.program_id(0)
     iters = iters_ref[g]
-    lane = jax.lax.broadcasted_iota(I32, (8, LANES), 1)
-    lanev = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
+    S = HUFF_SUB
+    lane = jax.lax.broadcasted_iota(I32, (S, LANES), 1)
     src_rows = src_ref.shape[0]
 
     p = params_ref[:, :]
     log = p[:, A_LOG : A_LOG + 1]  # (8,1)
+    bitbase = p[:, A_BITBASE : A_BITBASE + 1]
+    nsym = p[:, A_NSYM : A_NSYM + 1]
     perm0 = p[:, 128:256]
     perm1 = p[:, 256:384]
     rs = [None] + [p[:, A_RS + w - 1 : A_RS + w] for w in range(1, 13)]
     cum = [p[:, A_CUM + w : A_CUM + w + 1] for w in range(12)]
 
-    def peek_scalar(r, rem):
-        """Top log bits of stream r (zero-padded near the end).
-
-        Mosaic forbids dynamic lane-dim scalar loads, so the 3 feed bytes
-        come from a dynamic ROW pair (dim-0 dynamic loads are fine) with a
-        single fused lane-compare reduction."""
-        lg = params_ref[r, A_LOG]
-        take = jnp.clip(rem, 0, lg)
-        lo_bit = params_ref[r, A_BITBASE] + rem - take
-        byte0 = lo_bit >> 3
+    def peek(rem):
+        """Top log bits of all 8 streams at once (zero-padded near the end):
+        per-stream dynamic ROW-pair loads (scalar element reads of the
+        vector carry give the row indices; the loads hide under the loop
+        floor) + ONE split-gather for the 3 feed bytes of every stream —
+        replaces 24 lane-compare reductions per iteration."""
+        take = jnp.clip(rem, 0, log)
+        lo_bit = bitbase + rem - take
+        byte0 = lo_bit >> 3  # (8,1)
         sh = lo_bit & 7
-        r0 = byte0 >> 7
-        ra = src_ref[pl.ds(r0, 1), :]
-        rb = src_ref[pl.ds(jnp.minimum(r0 + 1, src_rows - 1), 1), :]
-        s = byte0 & 127
-        acc = jnp.where(lanev == s, ra, 0)  # s = byte0 & 127 < 128 always
-        for k, shl in ((1, 8), (2, 16)):
-            sk = s + k
-            acc = acc + jnp.where(
-                lanev == (sk & 127), jnp.where(sk < 128, ra, rb) << shl, 0)
-        w = jnp.sum(acc)
+        ra, rb = [], []
+        for r in range(S):
+            r0 = byte0[r, 0] >> 7
+            ra.append(src_ref[pl.ds(jnp.clip(r0, 0, src_rows - 1), 1), :])
+            rb.append(src_ref[pl.ds(jnp.clip(r0 + 1, 0, src_rows - 1), 1), :])
+        Ha = jnp.concatenate(ra, axis=0)
+        Hb = jnp.concatenate(rb, axis=0)
+        pk = _gather2(Ha, Hb, (byte0 & 127) + jnp.minimum(lane, 2))
+        w = pk[:, 0:1] | (pk[:, 1:2] << 8) | (pk[:, 2:3] << 16)
         v = _srl(w, sh) & ((1 << take) - 1)
-        return v << (lg - take)
+        return v << (log - take)
 
     def flush(i_row, tile):
         """ranks tile -> bytes via the 2-row perm lookup, store per row.
@@ -120,7 +138,7 @@ def _huffman_kernel(iters_ref, params_ref, src_ref, out_ref, meta_ref):
             jnp.take_along_axis(perm0, idx, axis=1),
             jnp.take_along_axis(perm1, idx, axis=1),
         )
-        for r in range(8):
+        for r in range(S):
             row = params_ref[r, A_OUTROW] + i_row
 
             @pl.when(i_row * 128 < params_ref[r, A_NSYM])
@@ -128,52 +146,39 @@ def _huffman_kernel(iters_ref, params_ref, src_ref, out_ref, meta_ref):
                 out_ref[pl.ds(row, 1), :] = sym[r : r + 1, :]
 
     def body(i, c):
-        rems, tile = c
-        sts = []
-        for r in range(8):
-            sts.append(peek_scalar(r, rems[r]))
-        st = _stack8(sts)
-        rank = jnp.zeros((8, 1), I32)
-        nb = jnp.zeros((8, 1), I32)
+        rem, tile = c
+        st = peek(rem)
+        rank = jnp.zeros((S, 1), I32)
+        nb = jnp.zeros((S, 1), I32)
         for w in range(1, 13):
             ge = st >= rs[w]
             rank = jnp.where(ge, cum[w - 1] + ((st - rs[w]) >> (w - 1)), rank)
             nb = jnp.where(ge, log + 1 - w, nb)
         tile = jnp.where(lane == (i & 127), rank, tile)
-
-        # per-row scalar rem update (vector nb -> scalars via lane peek)
-        new_rems = []
-        for r in range(8):
-            nb_r = jnp.sum(jnp.where(
-                jax.lax.broadcasted_iota(I32, (8, 1), 0) == r, nb, 0))
-            active = i < params_ref[r, A_NSYM]
-            new_rems.append(jnp.where(active, rems[r] - nb_r, rems[r]))
+        rem = jnp.where(i < nsym, rem - nb, rem)
 
         @pl.when((i & 127) == 127)
         def _():
             flush(i >> 7, tile)
 
-        tile = jnp.where((i & 127) == 127, jnp.zeros((8, LANES), I32), tile)
-        return (tuple(new_rems), tile)
+        tile = jnp.where((i & 127) == 127, jnp.zeros((S, LANES), I32), tile)
+        return (rem, tile)
 
-    init = (tuple(jnp.int32(0) + params_ref[r, A_REM] for r in range(8)),
-            jnp.zeros((8, LANES), I32))
-    rems, tile = jax.lax.fori_loop(0, iters, body, init)
+    init = (p[:, A_REM : A_REM + 1], jnp.zeros((S, LANES), I32))
+    rem, tile = jax.lax.fori_loop(0, iters, body, init)
 
     @pl.when((iters & 127) != 0)
     def _():
         flush(iters >> 7, tile)
 
-    meta_ref[0, 0:8, :] = jnp.where(
-        jax.lax.broadcasted_iota(I32, (8, LANES), 1) == 0, _stack8(rems), 0
-    )
+    meta_ref[0, :, :] = jnp.where(lane == 0, rem, 0)
 
 
 @partial(jax.jit, static_argnames=("interpret", "out_rows"))
 def huffman_decode(iters, params, src_rows, out_rows: int, interpret: bool):
-    """Decode G*8 Huffman literal streams in one launch.
+    """Decode G*HUFF_SUB Huffman literal streams in one launch.
 
-    iters: (G,) max symbols per group; params: (G*8, 384) i32;
+    iters: (G,) max symbols per group; params: (G*HUFF_SUB, 384) i32;
     src_rows: (R, 128) i32 byte rows. Returns (litpad bytes (out_rows,128) i32,
     final rem (G*8,))."""
     G = iters.shape[0]
@@ -183,17 +188,17 @@ def huffman_decode(iters, params, src_rows, out_rows: int, interpret: bool):
             num_scalar_prefetch=1,
             grid=(G,),
             in_specs=[
-                pl.BlockSpec((8, 384), lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((HUFF_SUB, 384), lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(src_rows.shape, lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
                 pl.BlockSpec((out_rows, LANES), lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 8, LANES), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, HUFF_SUB, LANES), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
             ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((out_rows, LANES), I32),
-            jax.ShapeDtypeStruct((G, 8, LANES), I32),
+            jax.ShapeDtypeStruct((G, HUFF_SUB, LANES), I32),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
@@ -206,26 +211,27 @@ def _fse_kernel(iters_ref, params_ref, tabs_ref, info_ref, srcw_ref,
                 ll_ref, ml_ref, of_ref, meta_ref):
     g = pl.program_id(0)
     iters = iters_ref[g]
-    lane = jax.lax.broadcasted_iota(I32, (8, LANES), 1)
-    lanev = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
-    rowi = jax.lax.broadcasted_iota(I32, (8, 1), 0)
+    S = SEQ_SUB
+    lane = jax.lax.broadcasted_iota(I32, (S, LANES), 1)
     srcw_rows = srcw_ref.shape[0]
 
-    llinfo = jnp.broadcast_to(info_ref[0:1, :], (8, LANES))
-    mlinfo = jnp.broadcast_to(info_ref[1:2, :], (8, LANES))
+    llinfo = jnp.broadcast_to(info_ref[0:1, :], (S, LANES))
+    mlinfo = jnp.broadcast_to(info_ref[1:2, :], (S, LANES))
 
     def lookup(slices, st):
         """Per-sublane state-table lookup over 128-lane slices."""
         idx = st & 127
         hi = st >> 7
-        out = jnp.zeros((8, 1), I32)
+        out = jnp.zeros((S, 1), I32)
         for h, sl in enumerate(slices):
-            v = jnp.take_along_axis(tabs_ref[0, sl, :, :], jnp.broadcast_to(idx, (8, LANES)), axis=1)[:, 0:1]
+            v = jnp.take_along_axis(tabs_ref[0, sl, :, :], jnp.broadcast_to(idx, (S, LANES)), axis=1)[:, 0:1]
             out = jnp.where(hi == h, v, out)
         return out
 
+    bitbase = params_ref[:, C_BITBASE : C_BITBASE + 1]
+
     def body(i, c):
-        rems, lls, ofs, mls, rep0, rep1, rep2, tl, tm, to, err = c
+        rem, lls, ofs, mls, rep0, rep1, rep2, tl, tm, to, err = c
 
         le = lookup((0, 1, 2, 3), lls)
         oe = lookup((4, 5), ofs)
@@ -236,41 +242,35 @@ def _fse_kernel(iters_ref, params_ref, tabs_ref, info_ref, srcw_ref,
         ll_nb, ll_ns = (le >> 6) & 15, le >> 10
         of_nb, of_ns = (oe >> 6) & 15, oe >> 10
         ml_nb, ml_ns = (me >> 6) & 15, me >> 10
-        lli = jnp.take_along_axis(llinfo, jnp.broadcast_to(ll_code, (8, LANES)), axis=1)[:, 0:1]
-        mli = jnp.take_along_axis(mlinfo, jnp.broadcast_to(ml_code, (8, LANES)), axis=1)[:, 0:1]
+        lli = jnp.take_along_axis(llinfo, jnp.broadcast_to(ll_code, (S, LANES)), axis=1)[:, 0:1]
+        mli = jnp.take_along_axis(mlinfo, jnp.broadcast_to(ml_code, (S, LANES)), axis=1)[:, 0:1]
         ll_xbits, ll_base = lli & 31, _srl(lli, 5)
         ml_xbits, ml_base = mli & 31, _srl(mli, 5)
 
         # fetch 5 u32 words covering the <=81 bits this iteration can consume
         # (of 23 + ml/ll extra 16+16 + state refills 9+9+8); the 82-bit floor
-        # keeps every extract() above the fetched window's base word
-        words = []
-        qws = []
-        for r in range(8):
-            a_hi = params_ref[r, C_BITBASE] + rems[r]
-            qw = jnp.maximum((a_hi - 82) >> 5, 0)
-            qws.append(qw)
-            r0 = qw >> 7
-            ra = srcw_ref[pl.ds(jnp.minimum(r0, srcw_rows - 1), 1), :]
-            rb = srcw_ref[pl.ds(jnp.minimum(r0 + 1, srcw_rows - 1), 1), :]
-            s = qw & 127
-            for k in range(5):
-                sk = s + k
-                sel = jnp.where(sk < 128, ra, rb)
-                words.append(jnp.sum(jnp.where(lanev == (sk & 127), sel, 0)))
-        w = [
-            _stack8([words[r * 5 + k] for r in range(8)]) for k in range(5)
-        ]
-        qwv = _stack8(qws)
-        remv = _stack8(rems)
-        bbase = params_ref[:, C_BITBASE : C_BITBASE + 1]
+        # keeps every extract() above the fetched window's base word. One
+        # dynamic row-pair load per stream + ONE split-gather for all 40
+        # words (replaces 40 lane-compare reductions per iteration).
+        qwv = jnp.maximum(((bitbase + rem) - 82) >> 5, 0)  # (8,1)
+        ra, rb = [], []
+        for r in range(S):
+            r0 = qwv[r, 0] >> 7
+            ra.append(srcw_ref[pl.ds(jnp.clip(r0, 0, srcw_rows - 1), 1), :])
+            rb.append(srcw_ref[pl.ds(jnp.clip(r0 + 1, 0, srcw_rows - 1), 1), :])
+        Wa = jnp.concatenate(ra, axis=0)
+        Wb = jnp.concatenate(rb, axis=0)
+        pk = _gather2(Wa, Wb, (qwv & 127) + jnp.minimum(lane, 4))
+        w = [pk[:, k : k + 1] for k in range(5)]
+        remv = rem
+        bbase = bitbase
 
         def extract(pos, n):
             """n bits (vector widths) at bit position pos (stream-relative)."""
             rel = jnp.maximum(bbase + pos - qwv * 32, 0)
             k = rel >> 5
-            lo = jnp.zeros((8, 1), I32)
-            hi = jnp.zeros((8, 1), I32)
+            lo = jnp.zeros((S, 1), I32)
+            hi = jnp.zeros((S, 1), I32)
             for kk in range(4):
                 lo = jnp.where(k == kk, w[kk], lo)
                 hi = jnp.where(k == kk, w[kk + 1], hi)
@@ -324,15 +324,11 @@ def _fse_kernel(iters_ref, params_ref, tabs_ref, info_ref, srcw_ref,
         to = jnp.where((lane == (i & 127)) & active, offset, to)
         err = err | (active & (p < 0)).astype(I32)
 
-        new_rems = []
-        for r in range(8):
-            c_r = jnp.sum(jnp.where(rowi == r, consumed, 0))
-            act_r = i < params_ref[r, C_NSEQ]
-            new_rems.append(jnp.where(act_r, rems[r] - c_r, rems[r]))
+        new_rem = jnp.where(active, rem - consumed, rem)
 
         @pl.when((i & 127) == 127)
         def _():
-            for r in range(8):
+            for r in range(S):
                 row = params_ref[r, C_OUTROW] + (i >> 7)
 
                 @pl.when((i >> 7) * 128 < params_ref[r, C_NSEQ])
@@ -341,7 +337,7 @@ def _fse_kernel(iters_ref, params_ref, tabs_ref, info_ref, srcw_ref,
                     ml_ref[pl.ds(row, 1), :] = tm[r : r + 1, :]
                     of_ref[pl.ds(row, 1), :] = to[r : r + 1, :]
 
-        zero = jnp.zeros((8, LANES), I32)
+        zero = jnp.zeros((S, LANES), I32)
         crossed = (i & 127) == 127
         tl = jnp.where(crossed, zero, tl)
         tm = jnp.where(crossed, zero, tm)
@@ -354,26 +350,26 @@ def _fse_kernel(iters_ref, params_ref, tabs_ref, info_ref, srcw_ref,
         n_rep0 = jnp.where(keep_s, rep0, n_rep0)
         n_rep1 = jnp.where(keep_s, rep1, n_rep1)
         n_rep2 = jnp.where(keep_s, rep2, n_rep2)
-        return (tuple(new_rems), n_lls, n_ofs, n_mls,
+        return (new_rem, n_lls, n_ofs, n_mls,
                 n_rep0, n_rep1, n_rep2, tl, tm, to, err)
 
-    zero_t = jnp.zeros((8, LANES), I32)
-    ones = jnp.ones((8, 1), I32)
+    zero_t = jnp.zeros((S, LANES), I32)
+    ones = jnp.ones((S, 1), I32)
     init = (
-        tuple(jnp.int32(0) + params_ref[r, C_REM] for r in range(8)),
-        _stack8([params_ref[r, C_LLS] for r in range(8)]),
-        _stack8([params_ref[r, C_OFS] for r in range(8)]),
-        _stack8([params_ref[r, C_MLS] for r in range(8)]),
+        params_ref[:, C_REM : C_REM + 1],
+        params_ref[:, C_LLS : C_LLS + 1],
+        params_ref[:, C_OFS : C_OFS + 1],
+        params_ref[:, C_MLS : C_MLS + 1],
         ones, ones * 4, ones * 8,
         zero_t, zero_t, zero_t,
-        jnp.zeros((8, 1), I32),
+        jnp.zeros((S, 1), I32),
     )
     out = jax.lax.fori_loop(0, iters, body, init)
-    rems, tl, tm, to, err = out[0], out[7], out[8], out[9], out[10]
+    rem, tl, tm, to, err = out[0], out[7], out[8], out[9], out[10]
 
     @pl.when((iters & 127) != 0)
     def _():
-        for r in range(8):
+        for r in range(S):
             row = params_ref[r, C_OUTROW] + (iters >> 7)
 
             @pl.when((iters >> 7) * 128 < params_ref[r, C_NSEQ])
@@ -382,17 +378,17 @@ def _fse_kernel(iters_ref, params_ref, tabs_ref, info_ref, srcw_ref,
                 ml_ref[pl.ds(row, 1), :] = tm[r : r + 1, :]
                 of_ref[pl.ds(row, 1), :] = to[r : r + 1, :]
 
-    meta_ref[0, 0:8, :] = jnp.where(
-        lane == 0, _stack8(rems), jnp.where(lane == 1, err, 0)
+    meta_ref[0, :, :] = jnp.where(
+        lane == 0, rem, jnp.where(lane == 1, err, 0)
     )
 
 
 @partial(jax.jit, static_argnames=("interpret", "seq_rows"))
 def fse_sequences(iters, params, tabs, info, srcw_rows, seq_rows: int,
                   interpret: bool):
-    """Decode G*8 sequences sections in one launch.
+    """Decode G*SEQ_SUB sequences sections in one launch.
 
-    iters: (G,); params: (G*8, 128); tabs: (G, 10, 8, 128) packed FSE slices;
+    iters: (G,); params: (G*SEQ_SUB, 128); tabs: (G, 10, SEQ_SUB, 128) FSE slices;
     info: (8, 128) [ll|ml]info const rows; srcw_rows: (Rw, 128) i32 LE words.
     Returns (ll, ml, of (seq_rows,128) i32, rem (G*8,), err (G*8,))."""
     G = iters.shape[0]
@@ -402,8 +398,8 @@ def fse_sequences(iters, params, tabs, info, srcw_rows, seq_rows: int,
             num_scalar_prefetch=1,
             grid=(G,),
             in_specs=[
-                pl.BlockSpec((8, 128), lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 10, 8, 128), lambda g, *_: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((SEQ_SUB, 128), lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 10, SEQ_SUB, 128), lambda g, *_: (g, 0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, 128), lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(srcw_rows.shape, lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
             ],
@@ -411,14 +407,14 @@ def fse_sequences(iters, params, tabs, info, srcw_rows, seq_rows: int,
                 pl.BlockSpec((seq_rows, LANES), lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((seq_rows, LANES), lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((seq_rows, LANES), lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 8, LANES), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, SEQ_SUB, LANES), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
             ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((seq_rows, LANES), I32),
             jax.ShapeDtypeStruct((seq_rows, LANES), I32),
             jax.ShapeDtypeStruct((seq_rows, LANES), I32),
-            jax.ShapeDtypeStruct((G, 8, LANES), I32),
+            jax.ShapeDtypeStruct((G, SEQ_SUB, LANES), I32),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
@@ -635,7 +631,7 @@ def execute(iters, frames, desc, seq_ll, seq_ml, seq_of, litpad, src_rows,
 
     iters: (F,) iteration bounds; frames: (F,128); desc: (BD,128) block
     descriptors; seq_*: (S,128) triples; litpad: (L,128) literal bytes;
-    src_rows: (R,128) input bytes. Returns (out (F*out_rows,128) i32,
+    src_rows: (R,128) input bytes. Returns (out (F*out_rows,128) u8,
     out_len (F,), ok (F,))."""
     F = iters.shape[0]
     out, meta = pl.pallas_call(
@@ -667,4 +663,6 @@ def execute(iters, frames, desc, seq_ll, seq_ml, seq_of, litpad, src_rows,
       desc.astype(I32), seq_ll, seq_ml, seq_of, litpad, src_rows)
     out_len = meta[:, 0, 0]
     ok = meta[:, 0, 1] > 0
-    return out, out_len, ok
+    # uint8 on device: the caller offloads `out` to the host — casting in
+    # the same program quarters the device->host transfer
+    return out.astype(jnp.uint8), out_len, ok

@@ -90,14 +90,67 @@ def read_normalized_counts(src: np.ndarray, start: int, end: int,
 
 
 def build_decode_table(counts: np.ndarray, table_log: int) -> FseTable:
-    """Build the FSE decode table (symbol spread + per-state transitions)."""
+    """Build the FSE decode table (symbol spread + per-state transitions).
+
+    Vectorized: the spread walk ``pos += step (mod size)`` with
+    skip-while-above-high is one full cycle of a permutation coprime to the
+    table size, so the visited cells are a closed form (filter the cycle by
+    ``<= high``); the transition numbering (each symbol's occurrences get
+    ``count..2*count-1`` in state order) is a stable argsort + group rank."""
+    table_size = 1 << table_log
+    n_symbols = counts.size
+    if table_size < 8:
+        return _build_decode_table_scalar(counts, table_log)
+    counts = counts.astype(np.int64)
+    symbol_arr = np.zeros(table_size, dtype=np.int64)
+
+    # low-probability (-1) symbols occupy the highest cells
+    low = np.nonzero(counts == -1)[0]
+    n_low = low.size
+    high = table_size - 1 - n_low
+    if n_low:
+        symbol_arr[table_size - 1 : high : -1] = low
+    init = np.where(counts == -1, 1, counts)  # first transition index
+
+    # spread symbols over the kept cells of the step cycle
+    step = (table_size >> 1) + (table_size >> 3) + 3
+    mask = table_size - 1
+    walk = (np.arange(table_size, dtype=np.int64) * step) & mask
+    kept = walk[walk <= high]
+    pos_counts = np.maximum(counts, 0)
+    total = int(pos_counts.sum())
+    if total != kept.size:
+        raise MalformedInputException(0, "FSE spread did not return to zero")
+    symbol_arr[kept] = np.repeat(np.arange(n_symbols, dtype=np.int64), pos_counts)
+
+    # per-state transition: occurrence rank within each symbol, state order
+    order = np.argsort(symbol_arr, kind="stable")
+    sym_sorted = symbol_arr[order]
+    idx = np.arange(table_size, dtype=np.int64)
+    grp_start = np.zeros(table_size, dtype=np.int64)
+    first = np.nonzero(np.r_[True, sym_sorted[1:] != sym_sorted[:-1]])[0]
+    grp_start[first] = first
+    grp_start = np.maximum.accumulate(grp_start)
+    nxt = init[sym_sorted] + (idx - grp_start)
+    # bit_length(nxt) via float exponent (exact: nxt <= 2*table_size < 2^53)
+    bitlen = np.frexp(nxt.astype(np.float64))[1].astype(np.int64)
+    nb_sorted = table_log - (bitlen - 1)
+    ns_sorted = (nxt << nb_sorted) - table_size
+    num_bits = np.zeros(table_size, dtype=np.int64)
+    new_state = np.zeros(table_size, dtype=np.int64)
+    num_bits[order] = nb_sorted
+    new_state[order] = ns_sorted
+    return FseTable(table_log, symbol_arr, num_bits, new_state)
+
+
+def _build_decode_table_scalar(counts: np.ndarray, table_log: int) -> FseTable:
+    """Reference scalar build, kept for tiny tables (step not coprime)."""
     table_size = 1 << table_log
     symbol_arr = np.zeros(table_size, dtype=np.int64)
     num_bits = np.zeros(table_size, dtype=np.int64)
     new_state = np.zeros(table_size, dtype=np.int64)
     n_symbols = counts.size
 
-    # low-probability (-1) symbols occupy the highest cells
     high = table_size - 1
     symbol_next = np.zeros(n_symbols, dtype=np.int64)
     for s in range(n_symbols):
@@ -109,7 +162,6 @@ def build_decode_table(counts: np.ndarray, table_log: int) -> FseTable:
         else:
             symbol_next[s] = c
 
-    # spread symbols (step = 5/8 size + 3)
     step = (table_size >> 1) + (table_size >> 3) + 3
     mask = table_size - 1
     pos = 0
@@ -123,7 +175,6 @@ def build_decode_table(counts: np.ndarray, table_log: int) -> FseTable:
     if pos != 0:
         raise MalformedInputException(0, "FSE spread did not return to zero")
 
-    # per-state transition
     for u in range(table_size):
         s = int(symbol_arr[u])
         nxt = int(symbol_next[s])

@@ -141,3 +141,29 @@ def test_level_params_shrink_for_small_inputs():
     assert small.hash_log < big.hash_log
     assert small.window_log <= big.window_log
     assert compute(0, 1000).depth == compute(3, 1000).depth  # 0 → default
+
+
+@pytest.mark.skipif(oracles.zstd_module() is None, reason="zstandard unavailable")
+def test_structured_fuzz_round_trip():
+    """Seeded structured fuzzing of the matcher: inputs stitched from
+    repeated segments at random distances/lengths (targets the word-round /
+    closed-form split in block_enc._match_lengths and seam handling)."""
+    rng = np.random.default_rng(1234)
+    d = ZstdRefDecompressor()
+    for trial in range(12):
+        parts = []
+        vocab = [rng.integers(0, 256, int(rng.integers(4, 2000)),
+                              dtype=np.uint8).tobytes() for _ in range(8)]
+        total = 0
+        limit = int(rng.integers(10_000, 300_000))
+        while total < limit:
+            w = vocab[int(rng.integers(0, len(vocab)))]
+            if rng.random() < 0.3:  # mutate to break exact repeats
+                w = w[: int(rng.integers(1, len(w) + 1))]
+            reps = int(rng.integers(1, 20))
+            parts.append(w * reps)
+            total += len(w) * reps
+        data = b"".join(parts)[:limit]
+        comp = ZstdRefCompressor().compress(data)
+        assert oracles.zstd_decompress(comp, len(data)) == data, trial
+        assert d.decompress(comp, len(data)) == data, trial

@@ -252,12 +252,10 @@ def _find_matches(src: np.ndarray):
     w8 = _zb._u64_windows(src)
     mlen = _zb._match_lengths(w8, pos, cand, n, _zb._PeriodBreaks(src),
                               hard_cap=hard_cap)
-    short = mlen < 4  # w4 equality guarantees ≥4; keep the invariant
-    if np.any(short):
-        keepm = ~short
-        pos, cand, mlen = pos[keepm], cand[keepm], mlen[keepm]
-        if pos.size == 0:
-            return seqs
+    # w4 equality guarantees 4 matching bytes (pos+3 <= limit+2 < n), so a
+    # near-tail cap below 4 must not drop the match — emit it at 4 like the
+    # byte-extension loop always did
+    mlen = np.maximum(mlen, 4)
     cur = 0
     k = pos.size
     while True:

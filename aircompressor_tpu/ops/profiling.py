@@ -113,17 +113,17 @@ def kernel_rows(data: bytes | None = None, batch: int = 256,
     raw = sum(map(len, chunks))
     rows = []
 
-    for name, comp_factory, dec in (
+    for name, comp_factory, dec, sub in (
         ("snappy_decode_megakernel", SnappyCompressor.create,
-         snappy_pallas8.decode),
-        ("lz4_decode_megakernel", Lz4Compressor.create, lz4_pallas.decode),
+         snappy_pallas8.decode, snappy_pallas8.SUB),
+        ("lz4_decode_megakernel", Lz4Compressor.create, lz4_pallas.decode,
+         lz4_pallas.SUB),
     ):
         buf, lens = _mk_batch(comp_factory().compress, chunks)
         d, l = jnp.asarray(buf), jnp.asarray(lens)
         out, olens, ok, steps = dec(d, l, with_steps=True)
         assert bool(np.asarray(ok).all())
         steps_np = np.asarray(steps)
-        sub = snappy_pallas8.SUB
         # grid-sequential: total loop iterations = Σ per-grid-step max
         grid_iters = sum(
             int(steps_np[i: i + sub].max())
@@ -188,17 +188,17 @@ def trace(outdir: str):
 
 
 def main() -> None:
+    import contextlib
     import json
     import sys
 
     report = {"match_length_grid": match_length_grid()}
-    try:
-        report["kernels"] = kernel_rows()
-    except Exception as e:  # noqa: BLE001
-        report["kernels_error"] = str(e)[:200]
-    if len(sys.argv) > 1:
-        with trace(sys.argv[1]):
-            report.setdefault("kernels", None)
+    ctx = trace(sys.argv[1]) if len(sys.argv) > 1 else contextlib.nullcontext()
+    with ctx:  # the trace must wrap the device work it is meant to capture
+        try:
+            report["kernels"] = kernel_rows()
+        except Exception as e:  # noqa: BLE001
+            report["kernels_error"] = str(e)[:200]
     print(json.dumps(report, indent=2))
 
 

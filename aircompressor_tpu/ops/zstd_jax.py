@@ -29,7 +29,7 @@ import numpy as np
 from ..errors import MalformedInputException
 from ..zstd import constants as C
 from ..zstd import device_prep as dp
-from .zstd_pallas import HUFF_SUB, SEQ_SUB
+from .zstd_pallas import EXEC_SUB, HUFF_SUB, SEQ_SUB
 
 LANES = 128
 
@@ -170,7 +170,7 @@ def _pack_seq(plan: dp.BatchPlan):
 def _pack_frames(plan: dp.BatchPlan):
     frames = np.zeros((F_PER_LAUNCH, LANES), np.int32)
     desc = np.zeros((DESC_ROWS, LANES), np.int32)
-    iters = np.zeros(F_PER_LAUNCH, np.int32)
+    iters = np.zeros(F_PER_LAUNCH // EXEC_SUB, np.int32)
     di = 0
     for f, fp in enumerate(plan.frames):
         frames[f, 0] = di  # F_DESCBASE
@@ -189,7 +189,9 @@ def _pack_frames(plan: dp.BatchPlan):
             # runaway guard: every kernel-D iteration either emits >=1 byte
             # or transitions a run (<= 2 per sequence) or a block
             bound += bp.lit_total + 4 * bp.n_seq + 8
-        iters[f] = bound + OUT_CAP
+        frames[f, 2] = bound + OUT_CAP  # F_ITERS (per-frame bound)
+    # iters is only the mandatory scalar-prefetch operand; the kernel reads
+    # the real per-frame bounds from frames lane F_ITERS and ignores this
     return iters, frames, desc
 
 

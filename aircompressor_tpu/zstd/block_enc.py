@@ -124,7 +124,11 @@ def _match_lengths(w8: np.ndarray, pos: np.ndarray, cand: np.ndarray, n: int,
             d_act = dist[ai]
             uniq, counts = np.unique(d_act, return_counts=True)
             heavy = uniq[counts >= CF_MIN]
-            if heavy.size:
+            if heavy.size == 0:
+                # survivor counts only shrink as matches finish, so no
+                # distance can qualify later either — stop re-checking
+                cf_left = 0
+            else:
                 order_u = np.argsort(-counts[counts >= CF_MIN])
                 resolved = np.zeros(ai.size, dtype=bool)
                 for u in order_u[:cf_left]:

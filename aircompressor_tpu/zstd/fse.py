@@ -109,7 +109,9 @@ def build_decode_table(counts: np.ndarray, table_log: int) -> FseTable:
     n_low = low.size
     high = table_size - 1 - n_low
     if n_low:
-        symbol_arr[table_size - 1 : high : -1] = low
+        # explicit indices: a stop of -1 in a reversed slice would mean
+        # "until the last element" when every symbol is low-probability
+        symbol_arr[table_size - 1 - np.arange(n_low)] = low
     init = np.where(counts == -1, 1, counts)  # first transition index
 
     # spread symbols over the kept cells of the step cycle

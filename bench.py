@@ -117,12 +117,9 @@ def _stage(msg: str) -> None:
 
 
 def _pack(blobs, cap):
-    buf = np.zeros((len(blobs), cap), np.uint8)
-    lens = np.zeros(len(blobs), np.int32)
-    for i, b in enumerate(blobs):
-        buf[i, : len(b)] = np.frombuffer(b, np.uint8)
-        lens[i] = len(b)
-    return buf, lens
+    from aircompressor_tpu.ops.batch import _pack as pack
+
+    return pack(blobs, cap)
 
 
 # ------------------------------------------------------------------ device

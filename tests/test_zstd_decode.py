@@ -138,3 +138,18 @@ def test_decode_libzstd_output(corpus):
     for name, data in corpus:
         comp = oracles.zstd_compress(data, level=3)
         assert _decode(comp, len(data) + 64) == data
+
+
+def test_fse_table_all_low_probability():
+    """Every symbol -1 (each takes one high cell): the vectorized table
+    build must match the scalar build instead of crashing (regression:
+    empty-slice ValueError on a parseable adversarial header)."""
+    from aircompressor_tpu.zstd import fse
+
+    for log in (5, 6):
+        counts = np.full(1 << log, -1, np.int64)
+        a = fse.build_decode_table(counts, log)
+        b = fse._build_decode_table_scalar(counts, log)
+        assert np.array_equal(a.symbol, b.symbol)
+        assert np.array_equal(a.num_bits, b.num_bits)
+        assert np.array_equal(a.new_state, b.new_state)

@@ -267,6 +267,29 @@ def _host_decode_one(item: bytes, out_cap: int) -> bytes:
     return dst[:n].tobytes()
 
 
+_SELF_CHECK: list = []  # [] = not run; [True/False] = device tier usable
+
+
+def _device_self_check() -> bool:
+    """One-time canary: decode a known frame on device before trusting the
+    kernels this process (same graceful-fallback contract as the native
+    loader, internal/NativeLoader.java:104-112 — a backend/lowering
+    regression degrades to the host tier instead of corrupting output)."""
+    if not _SELF_CHECK:
+        try:
+            from ..zstd import frame_enc
+
+            payload = (b"the quick brown fox " * 40)[:777]
+            frame = bytes(frame_enc.compress_bytes(payload))
+            plan = dp.plan_batch([frame], OUT_CAP)
+            out_n, out_len_n, ok_n = _decode_plan(plan)
+            good = bool(ok_n[0]) and out_n[0, : out_len_n[0]].tobytes() == payload
+        except Exception:  # noqa: BLE001
+            good = False
+        _SELF_CHECK.append(good)
+    return _SELF_CHECK[0]
+
+
 def decode_batch(items, out_cap: int = OUT_CAP, verify_checksums: bool = True):
     """Decode a batch of single-frame zstd payloads on the device.
 
@@ -275,6 +298,14 @@ def decode_batch(items, out_cap: int = OUT_CAP, verify_checksums: bool = True):
     decode on the host tier (same output, graceful degradation)."""
     if out_cap > OUT_CAP:
         raise ValueError(f"device zstd tier caps frames at {OUT_CAP} bytes")
+    if not _device_self_check():
+        outs_h: list = []
+        for i, item in enumerate(items):
+            try:
+                outs_h.append(_host_decode_one(item, out_cap))
+            except MalformedInputException as e:
+                raise MalformedInputException(i, e.reason) from e
+        return outs_h
     outs: list = [None] * len(items)
     batch: list = []  # (item index, solo plan)
     usage = (0,) * len(_LIMITS)

@@ -23,8 +23,9 @@ zstd/device_prep.py):
   tables are shared constant rows. Reference parity:
   zstd/ZstdFrameDecompressor.java:375-460.
 
-- ``execute`` (kernel D): one frame per grid step; the merged parse+emit
-  state machine of ops/snappy_pallas.py generalized to zstd sequences:
+- ``execute`` (kernel D): EXEC_SUB frames per grid step, one per sublane
+  row of vectorized state tiles; the merged parse+emit
+  state machine of ops/snappy_pallas8.py generalized to zstd sequences:
   literal runs source through a per-block PIECEWISE map (huffman-decoded
   padded regions / raw input bytes / RLE fill) and match copies replay
   frame history with the register-pair near path + flushed-VMEM far path
@@ -65,12 +66,9 @@ D_NSEQ, D_SEQROW, D_LITTOTAL = 0, 1, 2
 D_PKIND, D_PSRC, D_PEND = 4, 8, 12  # 4 lanes each
 
 # frame descriptor lanes for kernel D
-F_DESCBASE, F_NBLOCKS = 0, 1
+F_DESCBASE, F_NBLOCKS, F_ITERS = 0, 1, 2
 
-
-def _stack8(vals):
-    """8 scalars -> (8, 1) vector."""
-    return jnp.concatenate([jnp.full((1, 1), v, I32) for v in vals], axis=0)
+EXEC_SUB = 8  # frames per kernel-D grid step (one per sublane row)
 
 
 def _srl(x, n):
@@ -429,65 +427,81 @@ PIECE_HUFF, PIECE_RAW, PIECE_RLE = 0, 1, 2
 
 def _execute_kernel(iters_ref, frames_ref, desc_ref, seq_ll_ref, seq_ml_ref,
                     seq_of_ref, lit_ref, src_ref, out_ref, meta_ref):
-    f = pl.program_id(0)
-    iters = iters_ref[f]
-    out_rows = out_ref.shape[0]
-    lane = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
-    zero_tile = jnp.zeros((1, LANES), I32)
+    """EXEC_SUB frames per grid step, one per sublane row of (SUB,128)
+    state tiles (same vectorized-state-machine architecture as
+    ops/snappy_pallas8.py; per-frame rolls become ONE split-gather with
+    per-row indices)."""
+    del iters_ref  # per-frame bounds live in frames_ref lane F_ITERS
+    S = EXEC_SUB
+    out_rows = out_ref.shape[0] // S
+    lane = jax.lax.broadcasted_iota(I32, (S, LANES), 1)
+    zero_t = jnp.zeros((S, LANES), I32)
+    zero_c = jnp.zeros((S, 1), I32)
 
-    n_blocks = frames_ref[0, 0, F_NBLOCKS]
-    desc_base = frames_ref[0, 0, F_DESCBASE]
+    fr = frames_ref[:, 0, :]  # (S, LANES)
+    n_blocks = fr[:, F_NBLOCKS : F_NBLOCKS + 1]
+    desc_base = fr[:, F_DESCBASE : F_DESCBASE + 1]
+    iters_f = fr[:, F_ITERS : F_ITERS + 1]
     desc_rows = desc_ref.shape[0]
     seq_rows = seq_ll_ref.shape[0]
+    lit_rows = lit_ref.shape[0]
+    src_rows_n = src_ref.shape[0]
 
-    def load_pair(ref, row_cap, pos):
-        r = pos >> 7
-        r0 = jnp.clip(r, 0, row_cap - 1)
-        r1 = jnp.clip(r + 1, 0, row_cap - 1)
-        return ref[pl.ds(r0, 1), :], ref[pl.ds(r1, 1), :]
+    def rows_of(ref, row_cap, q, base=None):
+        """Per-frame (row, row+1) pair loads -> two (S,128) tiles."""
+        ra, rb = [], []
+        for r in range(S):
+            rr = q[r, 0] >> 7
+            r0 = jnp.clip(rr, 0, row_cap - 1)
+            r1 = jnp.clip(rr + 1, 0, row_cap - 1)
+            if base is not None:
+                r0 = r0 + base * r
+                r1 = r1 + base * r
+            ra.append(ref[pl.ds(r0, 1), :])
+            rb.append(ref[pl.ds(r1, 1), :])
+        return jnp.concatenate(ra, axis=0), jnp.concatenate(rb, axis=0)
 
-    def place(row_a, row_b, src_lane, o):
-        rot = (o - src_lane) & 127
-        a = pltpu.roll(row_a, rot, 1)
-        bb = pltpu.roll(row_b, rot, 1)
-        return jnp.where(lane < o + 128 - src_lane, a, bb)
+    def desc_tile(b):
+        """Block descriptors of all S frames -> (S,128)."""
+        rows = []
+        for r in range(S):
+            rows.append(desc_ref[pl.ds(
+                jnp.clip(desc_base[r, 0] + b[r, 0], 0, desc_rows - 1), 1), :])
+        return jnp.concatenate(rows, axis=0)
 
-    def desc_row(b):
-        """One block descriptor as a (1,128) vector (dynamic ROW load; lanes
-        extracted statically — Mosaic forbids dynamic lane indexing)."""
-        return desc_ref[pl.ds(jnp.clip(desc_base + b, 0, desc_rows - 1), 1), :]
-
-    def at(vec, lane_i):
-        return jnp.sum(jax.lax.slice(vec, (0, lane_i), (1, lane_i + 1)))
-
-    # carry:
-    #  bi: current block index; si: seq index within block; op: frame out pos
+    # carry (all (S,1) columns except the (S,128) tile/prev registers):
+    #  bi: block index; si: seq index in block; op: frame out pos
     #  phase: 0 = schedule next run, 1 = literal run, 2 = match
     #  rem: bytes left in current run; litpos: literals consumed in block
-    #  dist: match distance; tile/prev: output row registers; err, steps
+    #  dist: match distance; err: sticky error flag (i32); steps
     def cond(c):
+        # termination: each live frame's steps increments and is bounded by
+        # its own F_ITERS, so the loop ends when every frame finishes,
+        # errors, or exhausts its per-frame bound (no global clause — it
+        # could cut off live frames when another hits its bound first)
         bi, err, steps = c[0], c[9], c[10]
-        return (bi < n_blocks) & (~err) & (steps < iters)
+        live = (bi < n_blocks) & (err == 0) & (steps < iters_f)
+        return jnp.max(live.astype(I32)) > 0
 
     def body(c):
         (bi, si, op, phase, rem, litpos, dist, tile, prev, err, steps) = c
+        frame_live = (bi < n_blocks) & (err == 0) & (steps < iters_f)
 
-        drow = desc_row(bi)
-        n_seq = at(drow, D_NSEQ)
-        lit_total = at(drow, D_LITTOTAL)
+        drow = desc_tile(bi)
+        n_seq = drow[:, D_NSEQ : D_NSEQ + 1]
+        lit_total = drow[:, D_LITTOTAL : D_LITTOTAL + 1]
 
         # ---- phase 0: schedule the next run (seq literal, match, or tail)
-        need = phase == 0
+        need = (phase == 0) & frame_live
         in_seqs = si < n_seq
-        seq_row = jnp.clip(at(drow, D_SEQROW) + (si >> 7), 0, seq_rows - 1)
+        sq = drow[:, D_SEQROW : D_SEQROW + 1] * LANES + si
+        LLa, _ = rows_of(seq_ll_ref, seq_rows, sq)
+        MLa, _ = rows_of(seq_ml_ref, seq_rows, sq)
+        OFa, _ = rows_of(seq_of_ref, seq_rows, sq)
         s_lane = si & 127
-        ll_row = seq_ll_ref[pl.ds(seq_row, 1), :]
-        ml_row = seq_ml_ref[pl.ds(seq_row, 1), :]
-        of_row = seq_of_ref[pl.ds(seq_row, 1), :]
-        s_pick = lane == s_lane
-        ll = jnp.where(in_seqs, jnp.sum(jnp.where(s_pick, ll_row, 0)), 0)
-        ml = jnp.where(in_seqs, jnp.sum(jnp.where(s_pick, ml_row, 0)), 0)
-        of = jnp.where(in_seqs, jnp.sum(jnp.where(s_pick, of_row, 0)), 0)
+        ll = jnp.where(in_seqs, jnp.take_along_axis(LLa, s_lane, axis=1), 0)
+        ml = jnp.where(in_seqs, jnp.take_along_axis(MLa, s_lane, axis=1), 0)
+        of = jnp.where(in_seqs, jnp.take_along_axis(OFa, s_lane, axis=1), 0)
         tail = jnp.where(in_seqs, 0, lit_total - litpos)
 
         lit_n = jnp.where(in_seqs, ll, tail)
@@ -497,37 +511,38 @@ def _execute_kernel(iters_ref, frames_ref, desc_ref, seq_ll_ref, seq_ml_ref,
         m_rem = jnp.where(go_lit, lit_n, jnp.where(go_match, ml, rem))
         m_dist = jnp.where(go_match, of, dist)
         # block advance: no seqs left and no tail
-        adv_block = need & ~in_seqs & (tail <= 0)
+        adv_block = need & (~in_seqs) & (tail <= 0)
         n_bi = jnp.where(adv_block, bi + 1, bi)
         n_si = jnp.where(adv_block, 0, si)
         n_litpos = jnp.where(adv_block, 0, litpos)
 
         err_n = err | (need & in_seqs & (
             (ml < 0) | (ll < 0)
-            | (litpos + jnp.clip(ll, 0, 1 << 24) > lit_total)))
+            | (litpos + jnp.clip(ll, 0, 1 << 24) > lit_total))).astype(I32)
 
-        # ---- emit one window of the current run
+        # ---- emit one <=128-byte window of the current run per frame
         o = op & 127
-        is_lit = m_phase == 1
-        is_match = m_phase == 2
-        active = (is_lit | is_match) & (m_rem > 0) & ~adv_block
-        err_n = err_n | (is_match & active & ((m_dist <= 0) | (m_dist > op)))
+        is_lit = (m_phase == 1) & frame_live
+        is_match = (m_phase == 2) & frame_live
+        active = (is_lit | is_match) & (m_rem > 0) & (~adv_block)
+        err_n = err_n | (is_match & active
+                         & ((m_dist <= 0) | (m_dist > op))).astype(I32)
 
         # piece lookup for literals (pieces have strictly increasing ends)
-        ndrow = desc_row(n_bi)
-        pend = jnp.int32(0)
-        pprev = jnp.int32(0)
-        pkind = jnp.int32(0)
-        psrc = jnp.int32(0)
-        found = jnp.bool_(False)
-        prev_k = jnp.int32(0)
+        ndrow = desc_tile(n_bi)
+        pend = zero_c
+        pprev = zero_c
+        pkind = zero_c
+        psrc = zero_c
+        found = zero_c > 0
+        prev_k = zero_c
         for k in range(4):
-            e_k = at(ndrow, D_PEND + k)
+            e_k = ndrow[:, D_PEND + k : D_PEND + k + 1]
             sel = (~found) & (n_litpos < e_k)
             pend = jnp.where(sel, e_k, pend)
             pprev = jnp.where(sel, prev_k, pprev)
-            pkind = jnp.where(sel, at(ndrow, D_PKIND + k), pkind)
-            psrc = jnp.where(sel, at(ndrow, D_PSRC + k), psrc)
+            pkind = jnp.where(sel, ndrow[:, D_PKIND + k : D_PKIND + k + 1], pkind)
+            psrc = jnp.where(sel, ndrow[:, D_PSRC + k : D_PSRC + k + 1], psrc)
             found = found | sel
             prev_k = e_k
 
@@ -535,53 +550,45 @@ def _execute_kernel(iters_ref, frames_ref, desc_ref, seq_ll_ref, seq_ml_ref,
         take = jnp.where(is_lit, jnp.minimum(take, pend - n_litpos), take)
         take = jnp.where(is_match, jnp.minimum(take, m_dist), take)
         take = jnp.minimum(take, jnp.maximum(out_rows * LANES - op, 0))
-        err_n = err_n | (is_lit & active & ~found)
-        take = jnp.where(active & ~err_n, jnp.maximum(take, 0), 0)
+        err_n = err_n | (is_lit & active & ~found).astype(I32)
+        take = jnp.where(active & (err_n == 0), jnp.maximum(take, 0), 0)
 
-        def match_window(_):
-            def near(_):
-                poff = o + 128 - m_dist
-                ra = jnp.where(poff < 128, prev, tile)
-                return place(ra, tile, poff & 127, o)
+        # window source: near match = register pair (prev|tile); far match =
+        # out pair at op-dist; literal = lit/src pair at the piece cursor
+        # (RLE fills with psrc). All pairs are loaded UNCONDITIONALLY and
+        # selected — per-frame branches cost more than the loads they skip
+        # (measured on the snappy megakernel).
+        near = is_match & (m_dist <= o + 127)
+        q_far = jnp.where(is_match, op - m_dist, psrc + (n_litpos - pprev))
+        q_far = jnp.where(is_match | is_lit, q_far, zero_c)
+        Oa, Ob = rows_of(out_ref, out_rows, q_far, base=out_rows)
+        La, Lb = rows_of(lit_ref, lit_rows, q_far)
+        Ra, Rb = rows_of(src_ref, src_rows_n, q_far)
+        use_lit_piece = is_lit & (pkind == PIECE_HUFF)
+        use_raw_piece = is_lit & (pkind == PIECE_RAW)
+        is_rle = is_lit & (pkind == PIECE_RLE)
+        src_a = jnp.where(use_lit_piece, La, jnp.where(use_raw_piece, Ra, Oa))
+        src_b = jnp.where(use_lit_piece, Lb, jnp.where(use_raw_piece, Rb, Ob))
+        near_b = jnp.broadcast_to(near, (S, LANES))
+        src_a = jnp.where(near_b, prev, src_a)
+        src_b = jnp.where(near_b, tile, src_b)
+        idx = jnp.where(near, lane + 128 - m_dist, (q_far & 127) + lane - o)
+        placed = _gather2(src_a, src_b, idx & 255)
+        placed = jnp.where(jnp.broadcast_to(is_rle, (S, LANES)), psrc, placed)
 
-            def far(_):
-                q = op - m_dist
-                ra, rb = load_pair(out_ref, out_rows, q)
-                return place(ra, rb, q & 127, o)
-
-            return jax.lax.cond(m_dist > o + 127, far, near, None)
-
-        def lit_window(_):
-            def huff(_):
-                q = psrc + (n_litpos - pprev)
-                ra, rb = load_pair(lit_ref, lit_ref.shape[0], q)
-                return place(ra, rb, q & 127, o)
-
-            def raw(_):
-                q = psrc + (n_litpos - pprev)
-                ra, rb = load_pair(src_ref, src_ref.shape[0], q)
-                return place(ra, rb, q & 127, o)
-
-            def rle(_):
-                return jnp.full((1, LANES), psrc, I32)
-
-            return jax.lax.cond(
-                pkind == PIECE_RLE, rle,
-                lambda _: jax.lax.cond(pkind == PIECE_RAW, raw, huff, None),
-                None)
-
-        placed = jax.lax.cond(is_match, match_window, lit_window, None)
         mask = (lane >= o) & (lane < o + take)
         n_tile = jnp.where(mask, placed, tile)
         n_op = op + take
         crossed = ((n_op & 127) == 0) & (take > 0)
-
-        @pl.when(crossed)
-        def _():
-            out_ref[pl.ds(op >> 7, 1), :] = n_tile
+        crossed_i = crossed.astype(I32)
+        for r in range(S):
+            @pl.when(crossed_i[r, 0] > 0)
+            def _(r=r, n_tile=n_tile, op=op):
+                out_ref[pl.ds(r * out_rows + (op[r, 0] >> 7), 1), :] = (
+                    n_tile[r : r + 1, :])
 
         n_prev = jnp.where(crossed, n_tile, prev)
-        n_tile = jnp.where(crossed, zero_tile, n_tile)
+        n_tile = jnp.where(crossed, zero_t, n_tile)
 
         n_rem = m_rem - take
         n_litpos = jnp.where(is_lit & active, n_litpos + take, n_litpos)
@@ -593,7 +600,7 @@ def _execute_kernel(iters_ref, frames_ref, desc_ref, seq_ll_ref, seq_ml_ref,
         # match -> next seq; tail -> next block
         fin = active & (n_rem == 0)
         fin_seq_lit = fin & is_lit & in_seqs
-        fin_tail = fin & is_lit & ~in_seqs
+        fin_tail = fin & is_lit & (~in_seqs)
         fin_match = fin & is_match
         n_phase = jnp.where(fin_seq_lit & (ml > 0), 2, jnp.where(fin, 0, m_phase))
         n_phase = jnp.where(adv_block, 0, n_phase)
@@ -604,65 +611,72 @@ def _execute_kernel(iters_ref, frames_ref, desc_ref, seq_ll_ref, seq_ml_ref,
         n_si = jnp.where(fin_tail, 0, n_si)
         n_litpos = jnp.where(fin_tail, 0, n_litpos)
 
-        err_n = err_n | (active & (take <= 0))
+        err_n = err_n | (active & (take <= 0)).astype(I32)
+        n_steps = jnp.where(frame_live, steps + 1, steps)
         return (n_bi, n_si, n_op, n_phase, n_rem, n_litpos, n_dist,
-                n_tile, n_prev, err_n, steps + 1)
+                n_tile, n_prev, err_n, n_steps)
 
-    init = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-            jnp.int32(0), jnp.int32(0), jnp.int32(1),
-            zero_tile, zero_tile, jnp.bool_(False), jnp.int32(0))
+    init = (zero_c, zero_c, zero_c, zero_c, zero_c, zero_c, zero_c + 1,
+            zero_t, zero_t, zero_c, zero_c)
     out = jax.lax.while_loop(cond, body, init)
-    bi, op, err, steps = out[0], out[2], out[9], out[10]
+    bi, op, tile, err, steps = out[0], out[2], out[7], out[9], out[10]
 
-    @pl.when((op & 127) != 0)
-    def _():
-        out_ref[pl.ds(op >> 7, 1), :] = out[7]
+    for r in range(S):
+        @pl.when((op[r, 0] & 127) != 0)
+        def _(r=r):
+            out_ref[pl.ds(r * out_rows + (op[r, 0] >> 7), 1), :] = (
+                tile[r : r + 1, :])
 
-    ok = (~err) & (bi >= n_blocks)
-    meta_ref[0, 0:1, :] = jnp.where(
+    ok = (err == 0) & (bi >= n_blocks)
+    meta_ref[0, :, :] = jnp.where(
         lane == 0, jnp.where(ok, op, -1),
-        jnp.where(lane == 1, ok.astype(I32), jnp.where(lane == 2, steps, 0)))
+        jnp.where(lane == 1, ok.astype(I32),
+                  jnp.where(lane == 2, steps, 0)))
 
 
 @partial(jax.jit, static_argnames=("interpret", "out_rows_per_frame"))
 def execute(iters, frames, desc, seq_ll, seq_ml, seq_of, litpad, src_rows,
             out_rows_per_frame: int, interpret: bool):
-    """Execute all frames' sequences in one launch.
+    """Execute all frames' sequences in one launch, EXEC_SUB frames per
+    grid step.
 
-    iters: (F,) iteration bounds; frames: (F,128); desc: (BD,128) block
-    descriptors; seq_*: (S,128) triples; litpad: (L,128) literal bytes;
-    src_rows: (R,128) input bytes. Returns (out (F*out_rows,128) u8,
-    out_len (F,), ok (F,))."""
-    F = iters.shape[0]
+    iters: (G,) per-group iteration bounds (G = F/EXEC_SUB); frames:
+    (F,128) — lane F_ITERS carries each frame's own bound; desc: (BD,128)
+    block descriptors; seq_*: (S,128) triples; litpad: (L,128) literal
+    bytes; src_rows: (R,128) input bytes. Returns (out (F*out_rows,128)
+    u8, out_len (F,), ok (F,))."""
+    F = frames.shape[0]
+    G = F // EXEC_SUB
     out, meta = pl.pallas_call(
         _execute_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(F,),
+            grid=(G,),
             in_specs=[
-                pl.BlockSpec((1, 1, LANES), lambda f, *_: (f, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(desc.shape, lambda f, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(seq_ll.shape, lambda f, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(seq_ml.shape, lambda f, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(seq_of.shape, lambda f, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(litpad.shape, lambda f, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(src_rows.shape, lambda f, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((EXEC_SUB, 1, LANES), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(desc.shape, lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(seq_ll.shape, lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(seq_ml.shape, lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(seq_of.shape, lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(litpad.shape, lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(src_rows.shape, lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((out_rows_per_frame, LANES), lambda f, *_: (f, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 8, LANES), lambda f, *_: (f, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((EXEC_SUB * out_rows_per_frame, LANES), lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, EXEC_SUB, LANES), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
             ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((F * out_rows_per_frame, LANES), I32),
-            jax.ShapeDtypeStruct((F, 8, LANES), I32),
+            jax.ShapeDtypeStruct((G, EXEC_SUB, LANES), I32),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(iters.astype(I32), frames.astype(I32).reshape(F, 1, LANES),
       desc.astype(I32), seq_ll, seq_ml, seq_of, litpad, src_rows)
-    out_len = meta[:, 0, 0]
-    ok = meta[:, 0, 1] > 0
+    meta2 = meta.reshape(F, LANES)
+    out_len = meta2[:, 0]
+    ok = meta2[:, 1] > 0
     # uint8 on device: the caller offloads `out` to the host — casting in
     # the same program quarters the device->host transfer
     return out.astype(jnp.uint8), out_len, ok

@@ -21,19 +21,50 @@ CHUNK = 65536
 _COMP_ALIGN = 1024
 
 
+_KERNEL_OK: dict = {}  # codec -> megakernel passed its one-time canary
+
+
+def _kernel_self_check(codec: str, dec, compress) -> bool:
+    """One-time per-process canary decode of a known chunk through the
+    Pallas megakernel (graceful-fallback contract of the native loader,
+    internal/NativeLoader.java:104-112: a lowering regression degrades to
+    the multi-fusion XLA tier instead of corrupting output)."""
+    ok = _KERNEL_OK.get(codec)
+    if ok is None:
+        import jax.numpy as jnp
+
+        try:
+            payload = bytes(np.tile(
+                np.frombuffer(b"device self check 0123456789", np.uint8), 40))
+            blob = compress(payload)
+            buf, lens = _pack([blob], _round_up(len(blob) + 1, _COMP_ALIGN))
+            out, olens, okv = dec(jnp.asarray(buf), jnp.asarray(lens))
+            ok = bool(np.asarray(okv)[0]) and (
+                np.asarray(out)[0, : int(np.asarray(olens)[0])].tobytes()
+                == payload)
+        except Exception:  # noqa: BLE001
+            ok = False
+        _KERNEL_OK[codec] = ok
+    return ok
+
+
 def _snappy_decode():
     """Snappy device decode: the single-launch Pallas megakernel on TPU
     (one program per batch — the device analogue of the reference's one
     JNI call, Lz4Native.java:30-41); the multi-fusion XLA decoder off-TPU
-    (Pallas interpret mode is Python-speed, XLA-CPU is not)."""
+    (Pallas interpret mode is Python-speed, XLA-CPU is not) and as the
+    self-check fallback."""
     import jax
+
+    from . import snappy_jax
 
     if jax.default_backend() == "tpu":
         from . import snappy_pallas8
+        from ..snappy import SnappyCompressor
 
-        return snappy_pallas8.decode
-    from . import snappy_jax
-
+        if _kernel_self_check("snappy", snappy_pallas8.decode,
+                              SnappyCompressor.create().compress):
+            return snappy_pallas8.decode
     return snappy_jax.decode
 
 
@@ -132,10 +163,16 @@ class Lz4BatchCodec:
         import jax
         import jax.numpy as jnp
 
+        from . import lz4_jax as _lz4_xla
+
+        lz4_jax = _lz4_xla
         if jax.default_backend() == "tpu":
-            from . import lz4_pallas as lz4_jax  # single-launch megakernel
-        else:
-            from . import lz4_jax
+            from . import lz4_pallas
+            from ..lz4 import Lz4Compressor
+
+            if _kernel_self_check("lz4", lz4_pallas.decode,
+                                  Lz4Compressor.create().compress):
+                lz4_jax = lz4_pallas  # single-launch megakernel
 
         if not blobs:
             return []

@@ -195,6 +195,62 @@ class Lz4BatchCodec:
         return res
 
 
+class LzoBatchCodec:
+    """Chunk-parallel LZO1X decode on the device (single-launch Pallas
+    megakernel, ops/lzo_pallas). Compression uses the host tier per chunk —
+    the reference has no native LZO either (its LZO is Java-only), so the
+    encode side is host-tier by the same parity argument."""
+
+    def __init__(self, max_chunk: int = CHUNK):
+        if max_chunk > CHUNK:
+            raise ValueError("lzo batch chunks are capped at 64KB")
+        self.max_chunk = max_chunk
+
+    def compress_chunks(self, chunks: Sequence[bytes]) -> list[bytes]:
+        from ..lzo import LzoCompressor
+
+        comp = LzoCompressor.create()
+        return [bytes(comp.compress(c)) for c in chunks]
+
+    def decompress_chunks(self, blobs: Sequence[bytes]) -> list[bytes]:
+        import jax
+        import jax.numpy as jnp
+
+        from ..lzo import LzoCompressor, LzoDecompressor
+
+        use_kernel = False
+        if jax.default_backend() == "tpu":
+            from . import lzo_pallas
+
+            use_kernel = _kernel_self_check(
+                "lzo", lzo_pallas.decode, LzoCompressor.create().compress)
+        if not blobs:
+            return []
+        if not use_kernel:
+            # off-TPU (Pallas interpret mode is Python-speed) or failed
+            # self-check: host tier
+            d = LzoDecompressor.create()
+            return [bytes(d.decompress(b, self.max_chunk)) for b in blobs]
+        from . import lzo_pallas
+
+        order = _steps_order(blobs)
+        cap = _round_up(max(len(b) for b in blobs) + 1, _COMP_ALIGN)
+        buf, lens = _pack([blobs[i] for i in order], cap)
+        out, olens, ok = lzo_pallas.decode(
+            jnp.asarray(buf), jnp.asarray(lens), out_cap=self.max_chunk)
+        out = np.asarray(out)
+        olens = np.asarray(olens)
+        ok = np.asarray(ok)
+        bad = np.nonzero(~ok)[0]
+        if bad.size:
+            raise MalformedInputException(
+                int(order[bad[0]]), "malformed lzo chunk in batch")
+        res: list[bytes] = [b""] * len(blobs)
+        for row, i in enumerate(order):
+            res[i] = out[row, : olens[row]].tobytes()
+        return res
+
+
 class ZstdBatchCodec:
     """Frame-parallel Zstd decode on the device (three single-launch Pallas
     kernels: Huffman literals, FSE sequences, sequence execution —

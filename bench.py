@@ -133,9 +133,11 @@ def device_benchmarks(data: bytes, detail: dict) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from aircompressor_tpu.lz4 import Lz4Compressor
+    from aircompressor_tpu.lzo import LzoCompressor
     from aircompressor_tpu.ops import (
         lz4_encode_jax,
         lz4_pallas,
+        lzo_pallas,
         snappy_encode_jax,
         snappy_pallas8,
         xxhash_pallas,
@@ -195,6 +197,7 @@ def device_benchmarks(data: bytes, detail: dict) -> None:
     for name, comp_factory, dec in (
         ("snappy", SnappyCompressor.create, snappy_pallas8.decode),
         ("lz4", Lz4Compressor.create, lz4_pallas.decode),
+        ("lzo", LzoCompressor.create, lzo_pallas.decode),
     ):
         _stage(f"decode {name}: compressing batch")
         comp = comp_factory()

@@ -25,6 +25,30 @@ except Exception:  # noqa: BLE001 - cache is an optimization only
     pass
 
 
+def _guard_dead_device_pool() -> None:
+    """The tunneled TPU pool sometimes goes fully unreachable (jax.devices()
+    hangs forever, not a per-claim slowdown). Probe it in a SUBPROCESS with
+    a hard timeout and redirect this test session to CPU if it is down —
+    backend init is lazy, so jax.config still takes effect here."""
+    if (os.environ.get("JAX_PLATFORMS", "") or "").lower() not in ("", "axon"):
+        return  # explicitly pinned platform (e.g. the CPU-mesh subprocesses)
+    code = ("import jax, numpy as np, jax.numpy as jnp;"
+            "np.asarray(jnp.zeros((8,128),jnp.int32)+1)")
+    try:
+        subprocess.run([sys.executable, "-c", code], timeout=30.0, check=True,
+                       capture_output=True,
+                       cwd=os.path.dirname(os.path.dirname(__file__)))
+    except Exception:  # noqa: BLE001 - unreachable or broken pool
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        print("[conftest] device pool unreachable - tests run on CPU",
+              file=sys.stderr)
+
+
+_guard_dead_device_pool()
+
+
 def cpu_mesh_env(n_devices: int = 8) -> dict:
     """Environment for a subprocess with n virtual CPU jax devices."""
     env = dict(os.environ)

@@ -103,6 +103,7 @@ class SnappyBatchCodec:
         self.max_chunk = max_chunk
 
     def compress_chunks(self, chunks: Sequence[bytes]) -> list[bytes]:
+        import jax
         import jax.numpy as jnp
 
         from . import snappy_encode_jax
@@ -110,10 +111,50 @@ class SnappyBatchCodec:
         if not chunks:
             return []
         buf, lens = _pack(chunks, self.max_chunk)
+        if jax.default_backend() == "tpu" and self._encode_kernel_ok():
+            from . import snappy_encode_pallas
+
+            comp, clens, ok = snappy_encode_pallas.encode(
+                jnp.asarray(buf), jnp.asarray(lens))
+            ok = np.asarray(ok)
+            comp = np.asarray(comp)
+            clens = np.asarray(clens)
+            if ok.all():
+                return [comp[i, : clens[i]].tobytes()
+                        for i in range(len(chunks))]
+            # overflow chunks (cap exceeded): fall through to the XLA path
         comp, clens = snappy_encode_jax.encode(jnp.asarray(buf), jnp.asarray(lens))
         comp = np.asarray(comp)
         clens = np.asarray(clens)
         return [comp[i, : clens[i]].tobytes() for i in range(len(chunks))]
+
+    @staticmethod
+    def _encode_kernel_ok() -> bool:
+        """One-time canary: kernel output must round-trip through the ref
+        decoder (same gating contract as the decode megakernels)."""
+        ok = _KERNEL_OK.get("snappy_enc")
+        if ok is None:
+            import jax.numpy as jnp
+
+            try:
+                from ..snappy import SnappyRefDecompressor
+                from . import snappy_encode_pallas
+
+                payload = bytes(np.tile(np.frombuffer(
+                    b"encode self check 0123456789", np.uint8), 40))
+                buf = np.zeros((1, 2048), np.uint8)
+                buf[0, : len(payload)] = np.frombuffer(payload, np.uint8)
+                comp, clens, okv = snappy_encode_pallas.encode(
+                    jnp.asarray(buf),
+                    jnp.asarray(np.array([len(payload)], np.int32)))
+                blob = np.asarray(comp)[0, : int(np.asarray(clens)[0])].tobytes()
+                ok = bool(np.asarray(okv)[0]) and bytes(
+                    SnappyRefDecompressor().decompress(
+                        blob, len(payload))) == payload
+            except Exception:  # noqa: BLE001
+                ok = False
+            _KERNEL_OK["snappy_enc"] = ok
+        return ok
 
     def decompress_chunks(self, blobs: Sequence[bytes]) -> list[bytes]:
         import jax.numpy as jnp

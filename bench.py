@@ -139,6 +139,7 @@ def device_benchmarks(data: bytes, detail: dict) -> None:
         lz4_pallas,
         lzo_pallas,
         snappy_encode_jax,
+        snappy_encode_pallas,
         snappy_pallas8,
         xxhash_pallas,
     )
@@ -265,9 +266,14 @@ def device_benchmarks(data: bytes, detail: dict) -> None:
     except Exception as e:  # noqa: BLE001
         detail["zstd_decode_device_error"] = str(e)[:300]
 
-    # --- device encoders (chunk-parallel XLA programs)
+    # --- device encoders (snappy: single-launch Pallas megakernel;
+    # lz4: chunk-parallel XLA program)
+    def _snappy_enc(d, l):
+        comp, clens, _ok = snappy_encode_pallas.encode(d, l)
+        return comp, clens
+
     for name, enc, ref_factory in (
-        ("snappy", snappy_encode_jax.encode, SnappyCompressor.create),
+        ("snappy", _snappy_enc, SnappyCompressor.create),
         ("lz4", lz4_encode_jax.encode, Lz4Compressor.create),
     ):
         chunks = all_chunks[:ENCODE_BATCH]

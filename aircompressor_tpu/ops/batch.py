@@ -188,6 +188,7 @@ class Lz4BatchCodec:
         self.max_chunk = max_chunk
 
     def compress_chunks(self, chunks: Sequence[bytes]) -> list[bytes]:
+        import jax
         import jax.numpy as jnp
 
         from . import lz4_encode_jax
@@ -195,10 +196,48 @@ class Lz4BatchCodec:
         if not chunks:
             return []
         buf, lens = _pack(chunks, self.max_chunk)
+        if jax.default_backend() == "tpu" and self._encode_kernel_ok():
+            from . import lz4_encode_pallas
+
+            comp, clens, ok = lz4_encode_pallas.encode(
+                jnp.asarray(buf), jnp.asarray(lens))
+            ok = np.asarray(ok)
+            comp = np.asarray(comp)
+            clens = np.asarray(clens)
+            if ok.all():
+                return [comp[i, : clens[i]].tobytes()
+                        for i in range(len(chunks))]
         comp, clens = lz4_encode_jax.encode(jnp.asarray(buf), jnp.asarray(lens))
         comp = np.asarray(comp)
         clens = np.asarray(clens)
         return [comp[i, : clens[i]].tobytes() for i in range(len(chunks))]
+
+    @staticmethod
+    def _encode_kernel_ok() -> bool:
+        """One-time canary round-trip through the ref decoder."""
+        ok = _KERNEL_OK.get("lz4_enc")
+        if ok is None:
+            import jax.numpy as jnp
+
+            try:
+                from ..lz4 import Lz4RefDecompressor
+                from . import lz4_encode_pallas
+
+                payload = bytes(np.tile(np.frombuffer(
+                    b"lz4 encode self check 0123456789", np.uint8), 40))
+                buf = np.zeros((1, 2048), np.uint8)
+                buf[0, : len(payload)] = np.frombuffer(payload, np.uint8)
+                comp, clens, okv = lz4_encode_pallas.encode(
+                    jnp.asarray(buf),
+                    jnp.asarray(np.array([len(payload)], np.int32)))
+                blob = np.asarray(comp)[0, : int(np.asarray(clens)[0])].tobytes()
+                ok = bool(np.asarray(okv)[0]) and bytes(
+                    Lz4RefDecompressor().decompress(
+                        blob, len(payload))) == payload
+            except Exception:  # noqa: BLE001
+                ok = False
+            _KERNEL_OK["lz4_enc"] = ok
+        return ok
 
     def decompress_chunks(self, blobs: Sequence[bytes]) -> list[bytes]:
         import jax

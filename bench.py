@@ -135,10 +135,9 @@ def device_benchmarks(data: bytes, detail: dict) -> None:
     from aircompressor_tpu.lz4 import Lz4Compressor
     from aircompressor_tpu.lzo import LzoCompressor
     from aircompressor_tpu.ops import (
-        lz4_encode_jax,
+        lz4_encode_pallas,
         lz4_pallas,
         lzo_pallas,
-        snappy_encode_jax,
         snappy_encode_pallas,
         snappy_pallas8,
         xxhash_pallas,
@@ -266,15 +265,16 @@ def device_benchmarks(data: bytes, detail: dict) -> None:
     except Exception as e:  # noqa: BLE001
         detail["zstd_decode_device_error"] = str(e)[:300]
 
-    # --- device encoders (snappy: single-launch Pallas megakernel;
-    # lz4: chunk-parallel XLA program)
-    def _snappy_enc(d, l):
-        comp, clens, _ok = snappy_encode_pallas.encode(d, l)
-        return comp, clens
+    # --- device encoders: single-launch Pallas megakernels
+    def _enc_of(mod):
+        def run(d, l):
+            comp, clens, _ok = mod.encode(d, l)
+            return comp, clens
+        return run
 
     for name, enc, ref_factory in (
-        ("snappy", _snappy_enc, SnappyCompressor.create),
-        ("lz4", lz4_encode_jax.encode, Lz4Compressor.create),
+        ("snappy", _enc_of(snappy_encode_pallas), SnappyCompressor.create),
+        ("lz4", _enc_of(lz4_encode_pallas), Lz4Compressor.create),
     ):
         chunks = all_chunks[:ENCODE_BATCH]
         raw_bytes = sum(map(len, chunks))

@@ -59,3 +59,40 @@ def test_size_parity_vs_libsnappy():
     ref = sum(len(oracles.snappy_compress(c)) for c in cases)
     # same greedy single-hash algorithm as libsnappy — sizes within 3%
     assert ours <= ref * 1.03, (ours, ref)
+
+
+def test_lz4_encode_kernel():
+    from aircompressor_tpu.lz4 import Lz4RefDecompressor
+    from aircompressor_tpu.ops import lz4_encode_pallas as lep
+
+    rng = np.random.default_rng(5)
+    cases = [
+        b"",
+        b"a",
+        b"hello world hello world hello world",
+        bytes(3000),
+        b"ab" * 2000,
+        bytes(rng.integers(0, 256, 2500, dtype=np.uint8)),
+        bytes(rng.integers(0, 4, 5000, dtype=np.uint8)),
+        open("/root/reference/testdata/html", "rb").read()[:8000],
+    ]
+    buf = np.zeros((len(cases), 8192), np.uint8)
+    lens = np.zeros(len(cases), np.int32)
+    for i, c in enumerate(cases):
+        buf[i, : len(c)] = np.frombuffer(c, np.uint8)
+        lens[i] = len(c)
+    out, clens, ok = lep.encode(jnp.asarray(buf), jnp.asarray(lens))
+    out, clens, ok = np.asarray(out), np.asarray(clens), np.asarray(ok)
+    assert ok.all()
+    d = Lz4RefDecompressor()
+    tot_k = tot_l = 0
+    for i, c in enumerate(cases):
+        blob = out[i, : clens[i]].tobytes()
+        assert bytes(d.decompress(blob, len(c))) == c, i
+        if oracles.lz4_lib() is not None:
+            assert oracles.lz4_decompress(blob, len(c)) == c, i
+            tot_k += len(blob)
+            tot_l += len(oracles.lz4_compress(c))
+    if tot_l:
+        # greedy matcher without liblz4's backward catch-up: within 3%
+        assert tot_k <= tot_l * 1.03, (tot_k, tot_l)

@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 I32 = jnp.int32
 LANES = 128
-SUB = 32
+SUB = 8  # 16/32 miscompile the tab_ref RMW on current Mosaic (zstd kernels hit the same)
 MAX_IN = 65536
 IN_ROWS = MAX_IN // LANES
 HASH_LOG = 14

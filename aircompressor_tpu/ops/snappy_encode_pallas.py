@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 I32 = jnp.int32
 LANES = 128
-SUB = 32
+SUB = 8  # 16/32 miscompile the tab_ref RMW on current Mosaic (zstd kernels hit the same)
 MAX_IN = 65536  # chunk cap (the snappy framing chunk size)
 IN_ROWS = MAX_IN // LANES  # 512
 HASH_LOG = 14

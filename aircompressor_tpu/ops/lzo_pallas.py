@@ -39,6 +39,13 @@ I32 = jnp.int32
 LANES = 128
 SUB = 32
 OUT_ROWS = 512  # 64KB output per chunk
+# 8 pad rows per chunk: the per-iteration tile store is UNCONDITIONAL (a
+# per-chunk pl.when flush-on-crossing costs ~43ns/branch, measured on the
+# snappy kernel; an unconditional store ~3.6ns) and needs a harmless
+# landing row once a chunk is done (op == 64KB -> row 512). Safe: far
+# copies only SELECT bytes strictly below the current output row.
+PAD_ROWS = 8
+OUT_ROWSP = OUT_ROWS + PAD_ROWS
 MAX_OUT = OUT_ROWS * LANES
 
 PH_TOKEN, PH_LENEXT, PH_DIST, PH_TRAIL, PH_DONE = 0, 1, 2, 3, 4
@@ -276,8 +283,8 @@ def _decode_kernel(lens_ref, in_ref, out_ref, meta_ref):
             qo1 = jnp.clip(q + 1, 0, OUT_ROWS - 1)
             ia = in_ref[pl.ds(r * Rc + qi0, 1), :]
             ib = in_ref[pl.ds(r * Rc + qi1, 1), :]
-            oa = out_ref[pl.ds(r * OUT_ROWS + qo0, 1), :]
-            ob = out_ref[pl.ds(r * OUT_ROWS + qo1, 1), :]
+            oa = out_ref[pl.ds(r * OUT_ROWSP + qo0, 1), :]
+            ob = out_ref[pl.ds(r * OUT_ROWSP + qo1, 1), :]
             rows_a.append(jnp.where(use_in > 0, ia, oa))
             rows_b.append(jnp.where(use_in > 0, ib, ob))
         La = jnp.concatenate(rows_a, axis=0)
@@ -295,12 +302,12 @@ def _decode_kernel(lens_ref, in_ref, out_ref, meta_ref):
         n_op = op + take
         crossed = ((n_op & 127) == 0) & (take > 0)
 
-        crossed_i = crossed.astype(I32)
+        # unconditional flush (see PAD_ROWS note): on a crossing iteration
+        # this is the row's final value; otherwise a partial write no
+        # reader selects
         for r in range(SUB):
-            @pl.when(crossed_i[r, 0] > 0)
-            def _(r=r, n_tile=n_tile, op=op):
-                out_ref[pl.ds(r * OUT_ROWS + (op[r, 0] >> 7), 1), :] = (
-                    n_tile[r : r + 1, :])
+            out_ref[pl.ds(r * OUT_ROWSP + (op[r, 0] >> 7), 1), :] = (
+                n_tile[r : r + 1, :])
 
         n_prev = jnp.where(crossed, n_tile, prev)
         n_tile = jnp.where(crossed, zero, n_tile)
@@ -319,12 +326,8 @@ def _decode_kernel(lens_ref, in_ref, out_ref, meta_ref):
     op, rem, phase, err, steps, tile = (
         out[1], out[2], out[6], out[12], out[13], out[14])
 
-    for r in range(SUB):
-        @pl.when((op[r, 0] & 127) != 0)
-        def _(r=r):
-            out_ref[pl.ds(r * OUT_ROWS + (op[r, 0] >> 7), 1), :] = (
-                tile[r : r + 1, :])
-
+    # (no final flush needed: every body iteration stores every chunk's
+    # in-progress tile, so the last iteration left all rows final)
     # valid end: the M4 stop command was seen (phase DONE) with no run in
     # flight — input without a stop command is malformed (reference:
     # LzoRawDecompressor "missing stop command")
@@ -351,14 +354,14 @@ def _decode_impl(comp, comp_lens, interpret: bool):
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((SUB * OUT_ROWS, LANES), lambda g, *_: (g, 0),
+                pl.BlockSpec((SUB * OUT_ROWSP, LANES), lambda g, *_: (g, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((SUB, LANES), lambda g, *_: (g, 0),
                              memory_space=pltpu.VMEM),
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B * OUT_ROWS, LANES), I32),
+            jax.ShapeDtypeStruct((B * OUT_ROWSP, LANES), I32),
             jax.ShapeDtypeStruct((B, LANES), I32),
         ),
         interpret=interpret,
@@ -368,7 +371,7 @@ def _decode_impl(comp, comp_lens, interpret: bool):
     out_lens = meta[:, 0]
     ok = meta[:, 1] > 0
     steps = meta[:, 2]
-    out = out_rows.reshape(B, MAX_OUT)
+    out = out_rows.reshape(B, OUT_ROWSP * LANES)[:, :MAX_OUT]
     j = jnp.arange(MAX_OUT, dtype=I32)[None, :]
     out = jnp.where(j < out_lens[:, None], out, 0).astype(jnp.uint8)
     return out, out_lens, ok, steps

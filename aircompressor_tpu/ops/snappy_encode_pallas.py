@@ -142,13 +142,12 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
             trow = jnp.clip(h[r, 0] >> 7, 0, TAB_ROWS - 1)
             row = tab_ref[pl.ds(r * TAB_ROWS + trow, 1), :]
             cands.append(row)
-
-            @pl.when(upd[r, 0] > 0)
-            def _(r=r, row=row, trow=trow):
-                hl = h[r, 0] & 127
-                lv = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
-                tab_ref[pl.ds(r * TAB_ROWS + trow, 1), :] = jnp.where(
-                    lv == hl, ip[r, 0], row)
+            # unconditional RMW write-back (a per-chunk pl.when branch costs
+            # ~43ns; writing `row` back unchanged when not updating is free)
+            hl = h[r, 0] & 127
+            lv = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
+            tab_ref[pl.ds(r * TAB_ROWS + trow, 1), :] = jnp.where(
+                jnp.logical_and(lv == hl, upd[r, 0] > 0), ip[r, 0], row)
 
         C = jnp.concatenate(cands, axis=0)
         cand_v = jnp.take_along_axis(C, jnp.broadcast_to(h & 127, (SUB, LANES)),
@@ -259,12 +258,14 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
         n_tile = jnp.where(mask, placed, tile)
         n_op = op + take
         crossed = ((n_op & 127) == 0) & (take > 0)
-        crossed_i = crossed.astype(I32)
+        # unconditional per-chunk store of the in-progress tile: on a
+        # crossing iteration this is the row's final value; otherwise a
+        # partial write nothing reads (output is write-only). Row clipped:
+        # an errored chunk can park op at OUT_CAP (its output is invalid).
         for r in range(SUB):
-            @pl.when(crossed_i[r, 0] > 0)
-            def _(r=r, n_tile=n_tile, op=op):
-                out_ref[pl.ds(r * OUT_ROWS + (op[r, 0] >> 7), 1), :] = (
-                    n_tile[r : r + 1, :])
+            out_ref[pl.ds(
+                r * OUT_ROWS + jnp.minimum(op[r, 0] >> 7, OUT_ROWS - 1),
+                1), :] = n_tile[r : r + 1, :]
         n_prev = jnp.where(crossed, n_tile, prev)
         n_tile = jnp.where(crossed, zero, n_tile)
 
@@ -289,10 +290,9 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
     op, err, steps, tile = out[2], out[14], out[15], out[16]
 
     for r in range(SUB):
-        @pl.when((op[r, 0] & 127) != 0)
-        def _(r=r):
-            out_ref[pl.ds(r * OUT_ROWS + (op[r, 0] >> 7), 1), :] = (
-                tile[r : r + 1, :])
+        out_ref[pl.ds(
+            r * OUT_ROWS + jnp.minimum(op[r, 0] >> 7, OUT_ROWS - 1),
+            1), :] = tile[r : r + 1, :]
 
     ok = err == 0
     meta_ref[:, :] = jnp.where(

@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 I32 = jnp.int32
 LANES = 128
-SUB = 32  # chunks per grid step (4 sublane tiles; see width note below)
+SUB = 32  # chunks per grid step (4 sublane tiles; 64 measured no better — VPU issue-bound)
 OUT_ROWS = 512  # 64KB output per chunk
 # 8 pad rows per chunk so the unconditional per-iteration tile store has a
 # harmless landing row once a chunk is done (op == 64KB → row 512). A

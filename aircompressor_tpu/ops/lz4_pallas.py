@@ -174,8 +174,12 @@ def _decode_kernel(lens_ref, in_ref, out_ref, meta_ref):
         n_pend = jnp.where(ph_tok, t_ml, pend_ml)
         m_rem = jnp.where(need, p_rem, rem)
         # a finished stream parks ip at clen with rem 0
+        # a scheduled run longer than the whole output budget is malformed
+        # on its own (clip would otherwise let op==0 + MAX_OUT pass the
+        # bound check and the store row run past this chunk's pad rows)
         p_err = (ph_mh & mh_err) | (
-            (new_ip > clen) & need) | ((op + jnp.clip(m_rem, 0, MAX_OUT) > MAX_OUT) & need)
+            (new_ip > clen) & need) | ((m_rem > MAX_OUT) & need) | (
+            (op + jnp.clip(m_rem, 0, MAX_OUT) > MAX_OUT) & need)
         n_err = err | p_err.astype(I32)
         n_err_b = n_err > 0
         m_src = jnp.where(need, n_src, src)
@@ -229,8 +233,8 @@ def _decode_kernel(lens_ref, in_ref, out_ref, meta_ref):
         # this is the row's final value; otherwise a partial write no
         # reader selects
         for r in range(SUB):
-            out_ref[pl.ds(r * OUT_ROWSP + (op[r, 0] >> 7), 1), :] = (
-                n_tile[r : r + 1, :])
+            row = jnp.minimum(op[r, 0] >> 7, OUT_ROWSP - 1)
+            out_ref[pl.ds(r * OUT_ROWSP + row, 1), :] = n_tile[r : r + 1, :]
 
         n_prev = jnp.where(crossed, n_tile, prev)
         n_tile = jnp.where(crossed, zero, n_tile)
@@ -322,6 +326,10 @@ def decode(comp, comp_lens, out_cap: int = MAX_OUT, with_steps: bool = False):
     out, out_lens, ok, steps = _decode_impl(comp, comp_lens, interpret)
     if pad_b:
         out, out_lens, ok, steps = out[:B], out_lens[:B], ok[:B], steps[:B]
+    # codec-independent backstop: a length past the returned buffer can
+    # never be "ok" (the kernel errs on oversized runs, but keep the
+    # wrapper self-contained)
+    ok = ok & (out_lens <= MAX_OUT)
     if out_cap != MAX_OUT:
         out = out[:, :out_cap]
         ok = ok & (out_lens <= out_cap)

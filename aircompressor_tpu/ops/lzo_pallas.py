@@ -244,8 +244,11 @@ def _decode_kernel(lens_ref, in_ref, out_ref, meta_ref):
         # token/LE16 bytes past the input end (checked BEFORE the stop
         # override parks new_ip at clen — a truncated stop is malformed)
         tok_over = (ph_tok & (tk_ip > clen)) | (ph_ds & (d_ip > clen))
+        # a scheduled run longer than the whole output budget is malformed
+        # on its own (clip would otherwise let op==0 + MAX_OUT pass)
         p_err = tok_over | (need & (new_ip > clen)) | (
             launches_cpy & ((n_dist <= 0) | (n_dist > op))) | (
+            need & (m_rem > MAX_OUT)) | (
             need & (op + jnp.clip(m_rem, 0, MAX_OUT) > MAX_OUT))
         n_err = err | p_err.astype(I32)
         n_err_b = n_err > 0
@@ -306,7 +309,8 @@ def _decode_kernel(lens_ref, in_ref, out_ref, meta_ref):
         # this is the row's final value; otherwise a partial write no
         # reader selects
         for r in range(SUB):
-            out_ref[pl.ds(r * OUT_ROWSP + (op[r, 0] >> 7), 1), :] = (
+            row = jnp.minimum(op[r, 0] >> 7, OUT_ROWSP - 1)
+            out_ref[pl.ds(r * OUT_ROWSP + row, 1), :] = (
                 n_tile[r : r + 1, :])
 
         n_prev = jnp.where(crossed, n_tile, prev)
@@ -400,6 +404,8 @@ def decode(comp, comp_lens, out_cap: int = MAX_OUT, with_steps: bool = False):
     out, out_lens, ok, steps = _decode_impl(comp, comp_lens, interpret)
     if pad_b:
         out, out_lens, ok, steps = out[:B], out_lens[:B], ok[:B], steps[:B]
+    # codec-independent backstop (see lz4_pallas.decode)
+    ok = ok & (out_lens <= MAX_OUT)
     if out_cap != MAX_OUT:
         out = out[:, :out_cap]
         ok = ok & (out_lens <= out_cap)

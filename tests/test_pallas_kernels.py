@@ -93,3 +93,35 @@ def test_snappy_megakernel_flags_truncated():
     buf, lens = _pack([blob[: len(blob) // 2]])
     _, _, ok = snappy_pallas8.decode(buf, lens)
     assert not np.asarray(ok)[0]
+
+
+def test_lz4_megakernel_flags_oversized_literal_run():
+    """A literal run longer than MAX_OUT scheduled at op==0 must be flagged
+    (regression: clip used to cap the addend so 0 + MAX_OUT never exceeded
+    the bound, letting the run silently truncate and the unconditional tile
+    store walk into the next chunk's output block)."""
+    from aircompressor_tpu.ops import lz4_pallas
+
+    # token 0xF0 (lit len 15 + ext), 263 x 0xFF + 120 -> 15+255*263+120 = 67200
+    run = 67200
+    k, term = divmod(run - 15, 255)
+    blob = b"\xf0" + b"\xff" * k + bytes([term]) + b"A" * run
+    buf, lens = _pack([blob])
+    _, olens, ok = lz4_pallas.decode(buf, lens)
+    assert not np.asarray(ok)[0]
+
+
+def test_lzo_megakernel_flags_oversized_literal_run():
+    """Same oversized-run bound for the LZO kernel (standalone literal run
+    zero-extended past MAX_OUT)."""
+    from aircompressor_tpu.ops import lzo_pallas
+
+    # token 0x00 enters LENEXT with base acc 18; 263 zero bytes + term 117
+    # -> run of 18 + 255*263 + 117 = 67200, then the literal bytes + stop
+    run = 67200
+    k, term = divmod(run - 18, 255)
+    blob = (b"\x00" + b"\x00" * k + bytes([term]) + b"A" * run
+            + b"\x11\x00\x00")  # M4 stop command
+    buf, lens = _pack([blob])
+    _, olens, ok = lzo_pallas.decode(buf, lens)
+    assert not np.asarray(ok)[0]

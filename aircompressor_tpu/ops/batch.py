@@ -59,12 +59,12 @@ def _snappy_decode():
     from . import snappy_jax
 
     if jax.default_backend() == "tpu":
-        from . import snappy_pallas8
+        from . import snappy_pallas_w
         from ..snappy import SnappyCompressor
 
-        if _kernel_self_check("snappy", snappy_pallas8.decode,
+        if _kernel_self_check("snappy", snappy_pallas_w.decode,
                               SnappyCompressor.create().compress):
-            return snappy_pallas8.decode
+            return snappy_pallas_w.decode
     return snappy_jax.decode
 
 

@@ -8,7 +8,7 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import numpy as np
 import jax.numpy as jnp
 
-from aircompressor_tpu.ops import snappy_pallas_mt as mt
+from aircompressor_tpu.ops import snappy_pallas_w as mt
 from aircompressor_tpu.snappy import SnappyCompressor
 
 TESTDATA = "/root/reference/testdata"

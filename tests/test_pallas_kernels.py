@@ -54,6 +54,31 @@ def test_snappy_megakernel_bit_exact():
     _check(snappy_pallas8.decode, [comp.compress(r) for r in raws], raws)
 
 
+def test_snappy_w_megakernel_bit_exact():
+    from aircompressor_tpu.ops import snappy_pallas_w
+    from aircompressor_tpu.snappy import SnappyCompressor
+
+    raws = _chunks()
+    comp = SnappyCompressor.create()
+    _check(snappy_pallas_w.decode, [comp.compress(r) for r in raws], raws)
+
+
+def test_snappy_w_megakernel_flags_truncated():
+    from aircompressor_tpu.ops import snappy_pallas_w
+    from aircompressor_tpu.snappy import SnappyCompressor
+
+    data = open(f"{TESTDATA}/urls.10K", "rb").read()[:30000]
+    blob = SnappyCompressor.create().compress(data)
+    cases = [
+        blob[: len(blob) // 2],             # truncated mid-stream
+        blob[:1] + b"\x01\x00" + blob[3:],  # copy before any output
+        b"\xfe\xff\xff\xff\x0f" + blob[5:],  # declared length > 64KB
+    ]
+    buf, lens = _pack(cases)
+    _, _, ok = snappy_pallas_w.decode(buf, lens)
+    assert not np.asarray(ok).any()
+
+
 def test_lz4_megakernel_bit_exact():
     from aircompressor_tpu.lz4 import Lz4Compressor
     from aircompressor_tpu.ops import lz4_pallas

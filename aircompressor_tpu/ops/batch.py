@@ -247,12 +247,12 @@ class Lz4BatchCodec:
 
         lz4_jax = _lz4_xla
         if jax.default_backend() == "tpu":
-            from . import lz4_pallas
+            from . import lz4_pallas_w
             from ..lz4 import Lz4Compressor
 
-            if _kernel_self_check("lz4", lz4_pallas.decode,
+            if _kernel_self_check("lz4", lz4_pallas_w.decode,
                                   Lz4Compressor.create().compress):
-                lz4_jax = lz4_pallas  # single-launch megakernel
+                lz4_jax = lz4_pallas_w  # single-launch megakernel
 
         if not blobs:
             return []

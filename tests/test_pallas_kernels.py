@@ -88,6 +88,36 @@ def test_lz4_megakernel_bit_exact():
     _check(lz4_pallas.decode, [comp.compress(r) for r in raws], raws)
 
 
+def test_lz4_w_megakernel_bit_exact():
+    from aircompressor_tpu.lz4 import Lz4Compressor
+    from aircompressor_tpu.ops import lz4_pallas_w
+
+    raws = _chunks()
+    comp = Lz4Compressor.create()
+    _check(lz4_pallas_w.decode, [comp.compress(r) for r in raws], raws)
+
+
+def test_lz4_w_megakernel_flags_malformed():
+    from aircompressor_tpu.lz4 import Lz4Compressor
+    from aircompressor_tpu.ops import lz4_pallas_w
+
+    data = open(f"{TESTDATA}/urls.10K", "rb").read()[:30000]
+    blob = Lz4Compressor.create().compress(data)
+    run = 67200
+    k, term = divmod(run - 15, 255)
+    cases = [
+        blob[: len(blob) // 2],              # truncated mid-stream
+        b"\xf0" + blob[1:],                  # literal run overruns input
+        blob[:1] + b"\x00\x00" + blob[3:],   # offset 0
+        b"\xf0" + b"\xff" * k + bytes([term]) + b"A" * run,  # run > 64KB
+    ]
+    buf, lens = _pack(cases)
+    out, olens, ok = lz4_pallas_w.decode(buf, lens)
+    ok, out, olens = np.asarray(ok), np.asarray(out), np.asarray(olens)
+    for i in range(len(cases)):
+        assert (not ok[i]) or out[i, : olens[i]].tobytes() != data
+
+
 def test_lz4_megakernel_flags_malformed():
     from aircompressor_tpu.lz4 import Lz4Compressor
     from aircompressor_tpu.ops import lz4_pallas

@@ -300,10 +300,10 @@ class LzoBatchCodec:
 
         use_kernel = False
         if jax.default_backend() == "tpu":
-            from . import lzo_pallas
+            from . import lzo_pallas_w
 
             use_kernel = _kernel_self_check(
-                "lzo", lzo_pallas.decode, LzoCompressor.create().compress)
+                "lzo", lzo_pallas_w.decode, LzoCompressor.create().compress)
         if not blobs:
             return []
         if not use_kernel:
@@ -311,12 +311,12 @@ class LzoBatchCodec:
             # self-check: host tier
             d = LzoDecompressor.create()
             return [bytes(d.decompress(b, self.max_chunk)) for b in blobs]
-        from . import lzo_pallas
+        from . import lzo_pallas_w
 
         order = _steps_order(blobs)
         cap = _round_up(max(len(b) for b in blobs) + 1, _COMP_ALIGN)
         buf, lens = _pack([blobs[i] for i in order], cap)
-        out, olens, ok = lzo_pallas.decode(
+        out, olens, ok = lzo_pallas_w.decode(
             jnp.asarray(buf), jnp.asarray(lens), out_cap=self.max_chunk)
         out = np.asarray(out)
         olens = np.asarray(olens)

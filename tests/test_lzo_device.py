@@ -14,6 +14,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from aircompressor_tpu.lzo import LzoCompressor  # noqa: E402
 from aircompressor_tpu.ops import lzo_pallas  # noqa: E402
+from aircompressor_tpu.ops import lzo_pallas_w  # noqa: E402
 from aircompressor_tpu.ops.batch import LzoBatchCodec  # noqa: E402
 
 
@@ -44,11 +45,12 @@ def test_kernel_bit_exact_vs_ref():
     for i, b in enumerate(blobs):
         buf[i, : len(b)] = np.frombuffer(b, np.uint8)
         lens[i] = len(b)
-    out, olens, ok = lzo_pallas.decode(jnp.asarray(buf), jnp.asarray(lens))
-    out, olens, ok = np.asarray(out), np.asarray(olens), np.asarray(ok)
-    for i, r in enumerate(raws):
-        assert bool(ok[i]), i
-        assert out[i, : olens[i]].tobytes() == r, i
+    for mod in (lzo_pallas, lzo_pallas_w):
+        out, olens, ok = mod.decode(jnp.asarray(buf), jnp.asarray(lens))
+        out, olens, ok = np.asarray(out), np.asarray(olens), np.asarray(ok)
+        for i, r in enumerate(raws):
+            assert bool(ok[i]), (mod.__name__, i)
+            assert out[i, : olens[i]].tobytes() == r, (mod.__name__, i)
 
 
 def test_kernel_rejects_malformed():
@@ -65,8 +67,9 @@ def test_kernel_rejects_malformed():
     for i, b in enumerate(bad_blobs):
         buf[i, : len(b)] = np.frombuffer(b, np.uint8)
         lens[i] = len(b)
-    _, _, ok = lzo_pallas.decode(jnp.asarray(buf), jnp.asarray(lens))
-    assert not np.asarray(ok).any()
+    for mod in (lzo_pallas, lzo_pallas_w):
+        _, _, ok = mod.decode(jnp.asarray(buf), jnp.asarray(lens))
+        assert not np.asarray(ok).any(), mod.__name__
 
 
 def test_batch_codec_round_trip():

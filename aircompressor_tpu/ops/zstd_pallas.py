@@ -69,6 +69,7 @@ D_PKIND, D_PSRC, D_PEND = 4, 8, 12  # 4 lanes each
 F_DESCBASE, F_NBLOCKS, F_ITERS = 0, 1, 2
 
 EXEC_SUB = 8  # frames per kernel-D grid step (one per sublane row)
+OUT_PAD_ROWS = 2  # harmless landing rows for kernel D's unconditional flush
 
 
 def _srl(x, n):
@@ -88,6 +89,13 @@ def _gather2(row_a, row_b, idx):
 
 
 # =========================================================== kernel A: huffman
+# Independent 8-stream groups interleaved per grid step: the VPU absorbs
+# multiple dependency chains for free (measured on the snappy megakernel —
+# 8 independent op streams cost the same as 1), so AG chains decode
+# AG*HUFF_SUB streams per step at roughly the single-chain iteration cost.
+HUFF_AG = 8
+
+
 def _huffman_kernel(iters_ref, params_ref, src_ref, out_ref, meta_ref):
     g = pl.program_id(0)
     iters = iters_ref[g]
@@ -95,23 +103,26 @@ def _huffman_kernel(iters_ref, params_ref, src_ref, out_ref, meta_ref):
     lane = jax.lax.broadcasted_iota(I32, (S, LANES), 1)
     src_rows = src_ref.shape[0]
 
-    p = params_ref[:, :]
-    log = p[:, A_LOG : A_LOG + 1]  # (8,1)
-    bitbase = p[:, A_BITBASE : A_BITBASE + 1]
-    nsym = p[:, A_NSYM : A_NSYM + 1]
-    perm0 = p[:, 128:256]
-    perm1 = p[:, 256:384]
-    rs = [None] + [p[:, A_RS + w - 1 : A_RS + w] for w in range(1, 13)]
-    cum = [p[:, A_CUM + w : A_CUM + w + 1] for w in range(12)]
+    groups = []
+    for a in range(HUFF_AG):
+        p = params_ref[a * S : (a + 1) * S, :]
+        groups.append(dict(
+            p=p,
+            log=p[:, A_LOG : A_LOG + 1],
+            bitbase=p[:, A_BITBASE : A_BITBASE + 1],
+            nsym=p[:, A_NSYM : A_NSYM + 1],
+            perm0=p[:, 128:256],
+            perm1=p[:, 256:384],
+            rs=[None] + [p[:, A_RS + w - 1 : A_RS + w] for w in range(1, 13)],
+            cum=[p[:, A_CUM + w : A_CUM + w + 1] for w in range(12)],
+        ))
 
-    def peek(rem):
-        """Top log bits of all 8 streams at once (zero-padded near the end):
-        per-stream dynamic ROW-pair loads (scalar element reads of the
-        vector carry give the row indices; the loads hide under the loop
-        floor) + ONE split-gather for the 3 feed bytes of every stream —
-        replaces 24 lane-compare reductions per iteration."""
-        take = jnp.clip(rem, 0, log)
-        lo_bit = bitbase + rem - take
+    def peek(gr, rem):
+        """Top log bits of the group's 8 streams (zero-padded near the end):
+        per-stream dynamic ROW-pair loads + ONE split-gather for the 3 feed
+        bytes of every stream."""
+        take = jnp.clip(rem, 0, gr["log"])
+        lo_bit = gr["bitbase"] + rem - take
         byte0 = lo_bit >> 3  # (8,1)
         sh = lo_bit & 7
         ra, rb = [], []
@@ -124,79 +135,95 @@ def _huffman_kernel(iters_ref, params_ref, src_ref, out_ref, meta_ref):
         pk = _gather2(Ha, Hb, (byte0 & 127) + jnp.minimum(lane, 2))
         w = pk[:, 0:1] | (pk[:, 1:2] << 8) | (pk[:, 2:3] << 16)
         v = _srl(w, sh) & ((1 << take) - 1)
-        return v << (log - take)
+        return v << (gr["log"] - take)
 
-    def flush(i_row, tile):
+    def flush(a, i_row, tile):
         """ranks tile -> bytes via the 2-row perm lookup, store per row.
         Rows whose stream has no symbols in this tile (incl. padding
         streams with nsym=0) must not store — their out_base is shared."""
+        gr = groups[a]
         idx = tile & 127
         sym = jnp.where(
             tile < 128,
-            jnp.take_along_axis(perm0, idx, axis=1),
-            jnp.take_along_axis(perm1, idx, axis=1),
+            jnp.take_along_axis(gr["perm0"], idx, axis=1),
+            jnp.take_along_axis(gr["perm1"], idx, axis=1),
         )
         for r in range(S):
-            row = params_ref[r, A_OUTROW] + i_row
+            row = params_ref[a * S + r, A_OUTROW] + i_row
 
-            @pl.when(i_row * 128 < params_ref[r, A_NSYM])
+            @pl.when(i_row * 128 < params_ref[a * S + r, A_NSYM])
             def _():
                 out_ref[pl.ds(row, 1), :] = sym[r : r + 1, :]
 
-    def body(i, c):
-        rem, tile = c
-        st = peek(rem)
+    def step(a, i, rem, tile):
+        gr = groups[a]
+        st = peek(gr, rem)
         rank = jnp.zeros((S, 1), I32)
         nb = jnp.zeros((S, 1), I32)
         for w in range(1, 13):
-            ge = st >= rs[w]
-            rank = jnp.where(ge, cum[w - 1] + ((st - rs[w]) >> (w - 1)), rank)
-            nb = jnp.where(ge, log + 1 - w, nb)
+            ge = st >= gr["rs"][w]
+            rank = jnp.where(
+                ge, gr["cum"][w - 1] + ((st - gr["rs"][w]) >> (w - 1)), rank)
+            nb = jnp.where(ge, gr["log"] + 1 - w, nb)
         tile = jnp.where(lane == (i & 127), rank, tile)
-        rem = jnp.where(i < nsym, rem - nb, rem)
+        rem = jnp.where(i < gr["nsym"], rem - nb, rem)
+        return rem, tile
 
+    def body(i, c):
+        rems, tiles = c
+        n_rems, n_tiles = [], []
+        # interleaved: HUFF_AG independent chains per iteration
+        for a in range(HUFF_AG):
+            rem, tile = step(a, i, rems[a], tiles[a])
+            n_rems.append(rem)
+            n_tiles.append(tile)
         @pl.when((i & 127) == 127)
         def _():
-            flush(i >> 7, tile)
+            for a in range(HUFF_AG):
+                flush(a, i >> 7, n_tiles[a])
+        zt = jnp.zeros((S, LANES), I32)
+        n_tiles = [jnp.where((i & 127) == 127, zt, t) for t in n_tiles]
+        return (tuple(n_rems), tuple(n_tiles))
 
-        tile = jnp.where((i & 127) == 127, jnp.zeros((S, LANES), I32), tile)
-        return (rem, tile)
-
-    init = (p[:, A_REM : A_REM + 1], jnp.zeros((S, LANES), I32))
-    rem, tile = jax.lax.fori_loop(0, iters, body, init)
+    init = (tuple(groups[a]["p"][:, A_REM : A_REM + 1] for a in range(HUFF_AG)),
+            tuple(jnp.zeros((S, LANES), I32) for _ in range(HUFF_AG)))
+    rems, tiles = jax.lax.fori_loop(0, iters, body, init)
 
     @pl.when((iters & 127) != 0)
     def _():
-        flush(iters >> 7, tile)
+        for a in range(HUFF_AG):
+            flush(a, iters >> 7, tiles[a])
 
-    meta_ref[0, :, :] = jnp.where(lane == 0, rem, 0)
+    for a in range(HUFF_AG):
+        meta_ref[0, pl.ds(a * S, S), :] = jnp.where(lane == 0, rems[a], 0)
 
 
 @partial(jax.jit, static_argnames=("interpret", "out_rows"))
 def huffman_decode(iters, params, src_rows, out_rows: int, interpret: bool):
-    """Decode G*HUFF_SUB Huffman literal streams in one launch.
+    """Decode G*HUFF_AG*HUFF_SUB Huffman literal streams in one launch.
 
-    iters: (G,) max symbols per group; params: (G*HUFF_SUB, 384) i32;
-    src_rows: (R, 128) i32 byte rows. Returns (litpad bytes (out_rows,128) i32,
-    final rem (G*8,))."""
+    iters: (G,) max symbols per grid step (over its HUFF_AG groups);
+    params: (G*HUFF_AG*HUFF_SUB, 384) i32; src_rows: (R, 128) i32 byte rows.
+    Returns (litpad bytes (out_rows,128) i32, final rem (G*AG*8,))."""
     G = iters.shape[0]
+    AS = HUFF_AG * HUFF_SUB
     out, meta = pl.pallas_call(
         _huffman_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(G,),
             in_specs=[
-                pl.BlockSpec((HUFF_SUB, 384), lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((AS, 384), lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(src_rows.shape, lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
                 pl.BlockSpec((out_rows, LANES), lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, HUFF_SUB, LANES), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, AS, LANES), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
             ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((out_rows, LANES), I32),
-            jax.ShapeDtypeStruct((G, HUFF_SUB, LANES), I32),
+            jax.ShapeDtypeStruct((G, AS, LANES), I32),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
@@ -425,15 +452,22 @@ def fse_sequences(iters, params, tabs, info, srcw_rows, seq_rows: int,
 PIECE_HUFF, PIECE_RAW, PIECE_RLE = 0, 1, 2
 
 
-def _execute_kernel(iters_ref, frames_ref, desc_ref, seq_ll_ref, seq_ml_ref,
-                    seq_of_ref, lit_ref, src_ref, out_ref, meta_ref):
+def _execute_kernel(iters_ref, frames_ref, desc_ref, seq3_ref,
+                    litsrc_ref, out_ref, meta_ref):
     """EXEC_SUB frames per grid step, one per sublane row of (SUB,128)
     state tiles (same vectorized-state-machine architecture as
-    ops/snappy_pallas8.py; per-frame rolls become ONE split-gather with
-    per-row indices)."""
+    ops/snappy_pallas_w.py; per-frame rolls become ONE split-gather with
+    per-row indices).
+
+    Scalar-unit diet (the megakernels are bound by per-frame dynamic row
+    loads): the (ll,ml,of) triples arrive ROW-INTERLEAVED in seq3 (rows
+    3r,3r+1,3r+2) so one 3-row slice replaces three pair loads; the two
+    block descriptors (current, next) come from one 2-row slice; huffman
+    literals and raw input share ONE litsrc buffer (the host bakes the
+    offset into PIECE_RAW sources)."""
     del iters_ref  # per-frame bounds live in frames_ref lane F_ITERS
     S = EXEC_SUB
-    out_rows = out_ref.shape[0] // S
+    out_rows = out_ref.shape[0] // S - OUT_PAD_ROWS
     lane = jax.lax.broadcasted_iota(I32, (S, LANES), 1)
     zero_t = jnp.zeros((S, LANES), I32)
     zero_c = jnp.zeros((S, 1), I32)
@@ -443,11 +477,10 @@ def _execute_kernel(iters_ref, frames_ref, desc_ref, seq_ll_ref, seq_ml_ref,
     desc_base = fr[:, F_DESCBASE : F_DESCBASE + 1]
     iters_f = fr[:, F_ITERS : F_ITERS + 1]
     desc_rows = desc_ref.shape[0]
-    seq_rows = seq_ll_ref.shape[0]
-    lit_rows = lit_ref.shape[0]
-    src_rows_n = src_ref.shape[0]
+    seq3_rows = seq3_ref.shape[0]
+    litsrc_rows = litsrc_ref.shape[0]
 
-    def rows_of(ref, row_cap, q, base=None):
+    def rows_of(ref, row_cap, q, base=None, pad=0):
         """Per-frame (row, row+1) pair loads -> two (S,128) tiles."""
         ra, rb = [], []
         for r in range(S):
@@ -455,19 +488,34 @@ def _execute_kernel(iters_ref, frames_ref, desc_ref, seq_ll_ref, seq_ml_ref,
             r0 = jnp.clip(rr, 0, row_cap - 1)
             r1 = jnp.clip(rr + 1, 0, row_cap - 1)
             if base is not None:
-                r0 = r0 + base * r
-                r1 = r1 + base * r
+                r0 = r0 + (base + pad) * r
+                r1 = r1 + (base + pad) * r
             ra.append(ref[pl.ds(r0, 1), :])
             rb.append(ref[pl.ds(r1, 1), :])
         return jnp.concatenate(ra, axis=0), jnp.concatenate(rb, axis=0)
 
-    def desc_tile(b):
-        """Block descriptors of all S frames -> (S,128)."""
-        rows = []
+    def seq3_tile(sq):
+        """(ll,ml,of) rows for each frame's seq cursor: one 3-row slice."""
+        la, ma, oa = [], [], []
         for r in range(S):
-            rows.append(desc_ref[pl.ds(
-                jnp.clip(desc_base[r, 0] + b[r, 0], 0, desc_rows - 1), 1), :])
-        return jnp.concatenate(rows, axis=0)
+            r0 = jnp.clip(sq[r, 0] >> 7, 0, seq3_rows // 3 - 1)
+            t = seq3_ref[pl.ds(3 * r0, 3), :]
+            la.append(t[0:1])
+            ma.append(t[1:2])
+            oa.append(t[2:3])
+        return (jnp.concatenate(la, axis=0), jnp.concatenate(ma, axis=0),
+                jnp.concatenate(oa, axis=0))
+
+    def desc_pair(b):
+        """Block descriptors (current, next) of all S frames: one 2-row
+        slice each (a frame's descriptors are consecutive)."""
+        cur, nxt = [], []
+        for r in range(S):
+            d0 = jnp.clip(desc_base[r, 0] + b[r, 0], 0, desc_rows - 2)
+            t = desc_ref[pl.ds(d0, 2), :]
+            cur.append(t[0:1])
+            nxt.append(t[1:2])
+        return jnp.concatenate(cur, axis=0), jnp.concatenate(nxt, axis=0)
 
     # carry (all (S,1) columns except the (S,128) tile/prev registers):
     #  bi: block index; si: seq index in block; op: frame out pos
@@ -487,7 +535,7 @@ def _execute_kernel(iters_ref, frames_ref, desc_ref, seq_ll_ref, seq_ml_ref,
         (bi, si, op, phase, rem, litpos, dist, tile, prev, err, steps) = c
         frame_live = (bi < n_blocks) & (err == 0) & (steps < iters_f)
 
-        drow = desc_tile(bi)
+        drow, drow_next = desc_pair(bi)
         n_seq = drow[:, D_NSEQ : D_NSEQ + 1]
         lit_total = drow[:, D_LITTOTAL : D_LITTOTAL + 1]
 
@@ -495,13 +543,17 @@ def _execute_kernel(iters_ref, frames_ref, desc_ref, seq_ll_ref, seq_ml_ref,
         need = (phase == 0) & frame_live
         in_seqs = si < n_seq
         sq = drow[:, D_SEQROW : D_SEQROW + 1] * LANES + si
-        LLa, _ = rows_of(seq_ll_ref, seq_rows, sq)
-        MLa, _ = rows_of(seq_ml_ref, seq_rows, sq)
-        OFa, _ = rows_of(seq_of_ref, seq_rows, sq)
+        LLa, MLa, OFa = seq3_tile(sq)
         s_lane = si & 127
-        ll = jnp.where(in_seqs, jnp.take_along_axis(LLa, s_lane, axis=1), 0)
-        ml = jnp.where(in_seqs, jnp.take_along_axis(MLa, s_lane, axis=1), 0)
-        of = jnp.where(in_seqs, jnp.take_along_axis(OFa, s_lane, axis=1), 0)
+        # NOTE: indices must be full-width — Mosaic's gather lowering
+        # rejects (S,1) indices against an (S,128) input
+        s_lane_b = jnp.broadcast_to(s_lane, (S, LANES))
+        ll = jnp.where(
+            in_seqs, jnp.take_along_axis(LLa, s_lane_b, axis=1)[:, 0:1], 0)
+        ml = jnp.where(
+            in_seqs, jnp.take_along_axis(MLa, s_lane_b, axis=1)[:, 0:1], 0)
+        of = jnp.where(
+            in_seqs, jnp.take_along_axis(OFa, s_lane_b, axis=1)[:, 0:1], 0)
         tail = jnp.where(in_seqs, 0, lit_total - litpos)
 
         lit_n = jnp.where(in_seqs, ll, tail)
@@ -529,7 +581,8 @@ def _execute_kernel(iters_ref, frames_ref, desc_ref, seq_ll_ref, seq_ml_ref,
                          & ((m_dist <= 0) | (m_dist > op))).astype(I32)
 
         # piece lookup for literals (pieces have strictly increasing ends)
-        ndrow = desc_tile(n_bi)
+        ndrow = jnp.where(
+            jnp.broadcast_to(adv_block, (S, LANES)), drow_next, drow)
         pend = zero_c
         pprev = zero_c
         pkind = zero_c
@@ -561,14 +614,13 @@ def _execute_kernel(iters_ref, frames_ref, desc_ref, seq_ll_ref, seq_ml_ref,
         near = is_match & (m_dist <= o + 127)
         q_far = jnp.where(is_match, op - m_dist, psrc + (n_litpos - pprev))
         q_far = jnp.where(is_match | is_lit, q_far, zero_c)
-        Oa, Ob = rows_of(out_ref, out_rows, q_far, base=out_rows)
-        La, Lb = rows_of(lit_ref, lit_rows, q_far)
-        Ra, Rb = rows_of(src_ref, src_rows_n, q_far)
-        use_lit_piece = is_lit & (pkind == PIECE_HUFF)
-        use_raw_piece = is_lit & (pkind == PIECE_RAW)
+        Oa, Ob = rows_of(out_ref, out_rows, q_far, base=out_rows,
+                         pad=OUT_PAD_ROWS)
+        La, Lb = rows_of(litsrc_ref, litsrc_rows, q_far)
+        use_piece = is_lit & (pkind != PIECE_RLE)
         is_rle = is_lit & (pkind == PIECE_RLE)
-        src_a = jnp.where(use_lit_piece, La, jnp.where(use_raw_piece, Ra, Oa))
-        src_b = jnp.where(use_lit_piece, Lb, jnp.where(use_raw_piece, Rb, Ob))
+        src_a = jnp.where(use_piece, La, Oa)
+        src_b = jnp.where(use_piece, Lb, Ob)
         near_b = jnp.broadcast_to(near, (S, LANES))
         src_a = jnp.where(near_b, prev, src_a)
         src_b = jnp.where(near_b, tile, src_b)
@@ -580,12 +632,14 @@ def _execute_kernel(iters_ref, frames_ref, desc_ref, seq_ll_ref, seq_ml_ref,
         n_tile = jnp.where(mask, placed, tile)
         n_op = op + take
         crossed = ((n_op & 127) == 0) & (take > 0)
-        crossed_i = crossed.astype(I32)
+        # unconditional store into the padded per-frame region (a per-frame
+        # pl.when branch costs more than the store it skips, measured on the
+        # snappy kernel); far reads only select rows strictly below the
+        # current window, so a partial row is never observed
         for r in range(S):
-            @pl.when(crossed_i[r, 0] > 0)
-            def _(r=r, n_tile=n_tile, op=op):
-                out_ref[pl.ds(r * out_rows + (op[r, 0] >> 7), 1), :] = (
-                    n_tile[r : r + 1, :])
+            row = jnp.minimum(op[r, 0] >> 7, out_rows + OUT_PAD_ROWS - 1)
+            out_ref[pl.ds(r * (out_rows + OUT_PAD_ROWS) + row, 1), :] = (
+                n_tile[r : r + 1, :])
 
         n_prev = jnp.where(crossed, n_tile, prev)
         n_tile = jnp.where(crossed, zero_t, n_tile)
@@ -618,14 +672,16 @@ def _execute_kernel(iters_ref, frames_ref, desc_ref, seq_ll_ref, seq_ml_ref,
 
     init = (zero_c, zero_c, zero_c, zero_c, zero_c, zero_c, zero_c + 1,
             zero_t, zero_t, zero_c, zero_c)
-    out = jax.lax.while_loop(cond, body, init)
-    bi, op, tile, err, steps = out[0], out[2], out[7], out[9], out[10]
+    # the cond's live-reduction is a vector->scalar pipeline drain; check
+    # it only every M iterations (finished frames no-op harmlessly — their
+    # steps stop at iters_f so the per-frame bound still holds)
+    M = 8
 
-    for r in range(S):
-        @pl.when((op[r, 0] & 127) != 0)
-        def _(r=r):
-            out_ref[pl.ds(r * out_rows + (op[r, 0] >> 7), 1), :] = (
-                tile[r : r + 1, :])
+    def outer_body(c):
+        return jax.lax.fori_loop(0, M, lambda _, cc: body(cc), c)
+
+    out = jax.lax.while_loop(cond, outer_body, init)
+    bi, op, tile, err, steps = out[0], out[2], out[7], out[9], out[10]
 
     ok = (err == 0) & (bi >= n_blocks)
     meta_ref[0, :, :] = jnp.where(
@@ -635,18 +691,20 @@ def _execute_kernel(iters_ref, frames_ref, desc_ref, seq_ll_ref, seq_ml_ref,
 
 
 @partial(jax.jit, static_argnames=("interpret", "out_rows_per_frame"))
-def execute(iters, frames, desc, seq_ll, seq_ml, seq_of, litpad, src_rows,
+def execute(iters, frames, desc, seq3, litsrc,
             out_rows_per_frame: int, interpret: bool):
     """Execute all frames' sequences in one launch, EXEC_SUB frames per
     grid step.
 
     iters: (G,) per-group iteration bounds (G = F/EXEC_SUB); frames:
     (F,128) — lane F_ITERS carries each frame's own bound; desc: (BD,128)
-    block descriptors; seq_*: (S,128) triples; litpad: (L,128) literal
-    bytes; src_rows: (R,128) input bytes. Returns (out (F*out_rows,128)
-    u8, out_len (F,), ok (F,))."""
+    block descriptors; seq3: (3*S,128) row-interleaved (ll,ml,of) triples;
+    litsrc: (L+R,128) huffman-literal bytes then raw input bytes (PIECE_RAW
+    sources carry the offset). Returns (out (F*(out_rows+PAD),128) u8,
+    out_len (F,), ok (F,))."""
     F = frames.shape[0]
     G = F // EXEC_SUB
+    rows_p = out_rows_per_frame + OUT_PAD_ROWS
     out, meta = pl.pallas_call(
         _execute_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -655,25 +713,22 @@ def execute(iters, frames, desc, seq_ll, seq_ml, seq_of, litpad, src_rows,
             in_specs=[
                 pl.BlockSpec((EXEC_SUB, 1, LANES), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(desc.shape, lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(seq_ll.shape, lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(seq_ml.shape, lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(seq_of.shape, lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(litpad.shape, lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(src_rows.shape, lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(seq3.shape, lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(litsrc.shape, lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((EXEC_SUB * out_rows_per_frame, LANES), lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((EXEC_SUB * rows_p, LANES), lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, EXEC_SUB, LANES), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((F * out_rows_per_frame, LANES), I32),
+            jax.ShapeDtypeStruct((F * rows_p, LANES), I32),
             jax.ShapeDtypeStruct((G, EXEC_SUB, LANES), I32),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(iters.astype(I32), frames.astype(I32).reshape(F, 1, LANES),
-      desc.astype(I32), seq_ll, seq_ml, seq_of, litpad, src_rows)
+      desc.astype(I32), seq3, litsrc)
     meta2 = meta.reshape(F, LANES)
     out_len = meta2[:, 0]
     ok = meta2[:, 1] > 0

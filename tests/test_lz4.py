@@ -54,6 +54,16 @@ class TestLz4Frame(CodecSuite):
     def make_decompressor(self):
         return Lz4FrameDecompressor(Lz4RefDecompressor())
 
+    # liblz4's LZ4F_* frame API (callable via the xxhash shim in oracles.py)
+    def has_oracle(self):
+        return oracles.lz4f_lib() is not None
+
+    def oracle_compress(self, data):
+        return oracles.lz4f_compress(data)
+
+    def oracle_decompress(self, comp, orig_len):
+        return oracles.lz4f_decompress(comp, orig_len)
+
     def malformed_cases(self):
         good = bytes(self.make_compressor().compress(b"hello hello hello hello"))
         bad_magic = b"\x00\x00\x00\x00" + good[4:]

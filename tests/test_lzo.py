@@ -9,6 +9,7 @@ import io
 import numpy as np
 import pytest
 
+import oracles
 from codec_suite import CodecSuite
 from aircompressor_tpu.errors import MalformedInputException
 from aircompressor_tpu.lzo import LzoCompressor, LzoDecompressor, lzop
@@ -24,8 +25,17 @@ class TestLzoBlock(CodecSuite):
 
     def make_decompressor(self):
         return LzoDecompressor()
-    # no independent oracle in this environment (reference used lzo-hadoop);
-    # conformance is covered by the golden lzop fixtures below
+
+    # upstream liblzo2 (the same .so the reference loads for its
+    # Hadoop-compat tests); golden lzop fixtures below add format coverage
+    def has_oracle(self):
+        return oracles.lzo_lib() is not None
+
+    def oracle_compress(self, data):
+        return oracles.lzo_compress(data)
+
+    def oracle_decompress(self, comp, orig_len):
+        return oracles.lzo_decompress(comp, orig_len)
 
 
 @pytest.mark.parametrize(

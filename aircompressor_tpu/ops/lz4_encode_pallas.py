@@ -154,6 +154,18 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
         add = jnp.min(jnp.where(neq, lane, 128), axis=1, keepdims=True)
         ex_mlen = mlen + add
         ex_done = (add < 128) | (ip + ex_mlen >= match_limit)
+        # backward extension ("catch up", Lz4RawCompressor.java:141-144):
+        # grow the match into the pending literals while the preceding
+        # bytes also match (window'd to 127B — covers practically all of
+        # the ratio; the offset is unchanged since both ends shift)
+        bpa, bpb = in_pair(ip - 128)
+        bca, bcb = in_pair(cand - 128)
+        wpb = gather2(bpa, bpb, ((ip - 128) & 127) + lane)
+        wqb = gather2(bca, bcb, ((cand - 128) & 127) + lane)
+        cap_back = jnp.clip(jnp.minimum(ip - anchor, cand), 0, 127)
+        badl = (wpb != wqb) | (lane < 128 - cap_back)
+        last_bad = jnp.max(jnp.where(badl, lane, -1), axis=1, keepdims=True)
+        back = jnp.where(in_ext & ex_done, 127 - last_bad, 0)
 
         # ---------------- scheduling helpers
         in_tok = need & (phase == PH_TOK)
@@ -197,10 +209,10 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
         n_skip = jnp.where(in_scan, sc_skip, skip)
         n_cand = jnp.where(in_scan, sc_cand, cand)
         n_mlen = jnp.where(in_scan, sc_mlen,
-                           jnp.where(in_ext, ex_mlen, mlen))
+                           jnp.where(in_ext, ex_mlen + back, mlen))
         n_mend = jnp.where(in_ext & ex_done, ip + ex_mlen,
                            jnp.where(tl, -1, mend))
-        n_litlen = jnp.where(in_ext & ex_done, ip - anchor,
+        n_litlen = jnp.where(in_ext & ex_done, ip - back - anchor,
                              jnp.where(tl, tl_lit, litlen))
         resume = in_off & (ml_n < 15)
         resume2 = in_mlterm

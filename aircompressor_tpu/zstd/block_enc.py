@@ -163,11 +163,15 @@ def _match_lengths(w8: np.ndarray, pos: np.ndarray, cand: np.ndarray, n: int,
     return mlen
 
 
-def find_sequences(block: np.ndarray, params=None):
+def find_sequences(block: np.ndarray, params=None, start: int = 0):
     """Returns (lit_lens, offsets, match_lens, literals) arrays.
 
     Concatenating per sequence [literals run, match] then trailing literals
-    reproduces ``block``. offsets are REAL distances (not wire values).
+    reproduces ``block[start:]``. offsets are REAL distances (not wire
+    values). ``start`` marks the emission boundary for streaming: bytes
+    below it are match CONTEXT only (the reference's slid window,
+    BlockCompressionState.java:35-49) — no sequence starts before it, but
+    matches may point into it.
 
     ``params`` (zstd/params.CompressionParameters) tunes the matcher: hash
     width, predecessor-chain depth per hash, and whether the long (8-byte)
@@ -176,8 +180,8 @@ def find_sequences(block: np.ndarray, params=None):
     """
     n = block.size
     empty = (np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64))
-    if n < MIN_MATCH + TAIL_MARGIN + 8:
-        return (*empty, block.copy())
+    if n < start + MIN_MATCH + TAIL_MARGIN + 8:
+        return (*empty, block[start:].copy())
     if params is None:
         from .params import compute
 
@@ -233,7 +237,7 @@ def find_sequences(block: np.ndarray, params=None):
     cand = best_cand[pos]
     mlen = best_len[pos]
     if pos.size == 0:
-        return (*empty, block.copy())
+        return (*empty, block[start:].copy())
 
     # greedy left-to-right commit (python ints + bisect: the only sequential
     # pass, O(#matches log #matches))
@@ -244,7 +248,7 @@ def find_sequences(block: np.ndarray, params=None):
     mlen_l = mlen.tolist()
     c_pos, c_off, c_ml = [], [], []
     k = len(pos_l)
-    cur = 0
+    cur = start
     hard_end = limit + TAIL_MARGIN - 8
     i = 0
     while True:
@@ -268,9 +272,12 @@ def find_sequences(block: np.ndarray, params=None):
     # literal runs precede each match; extract all of them in one masked pass
     ends = p_arr + ml_arr
     lit_lens = p_arr.copy()
+    if lit_lens.size:
+        lit_lens[0] -= start
     lit_lens[1:] -= ends[:-1]
     inside = np.zeros(n + 1, dtype=np.int64)
     np.add.at(inside, p_arr, 1)
     np.add.at(inside, ends, -1)
-    literals = block[np.cumsum(inside[:n]) == 0]
+    lit_mask = np.cumsum(inside[:n]) == 0
+    literals = block[start:][lit_mask[start:]]
     return (lit_lens, of_arr, ml_arr, literals)

@@ -22,7 +22,7 @@ import numpy as np
 from ..errors import MalformedInputException
 from ..xxhash import _scalar as xxh
 from . import constants as C
-from . import frame_dec, frame_enc
+from . import block_enc, frame_dec, frame_enc
 
 
 class _State(enum.Enum):
@@ -283,37 +283,85 @@ class ZstdInputStream(io.RawIOBase):
 
 
 class ZstdOutputStream(io.RawIOBase):
-    """Streaming writer (reference: zstd/ZstdOutputStream.java). Buffers up
-    to ``frame_size`` bytes and emits an independent checksummed frame per
-    chunk — a legal multi-frame stream for any zstd decoder."""
+    """TRUE streaming writer: ONE frame per stream, unknown content size,
+    with the match window carried across write() calls (reference:
+    zstd/ZstdOutputStream.java:154-221 + BlockCompressionState.slideWindow).
 
-    def __init__(self, sink, level: int = 3, frame_size: int = C.MAX_BLOCK_SIZE * 4):
+    Each full 128KB block compresses against up to (window - blockSize)
+    bytes of retained history, so cross-chunk matches survive chunked
+    writes; repcodes and the xxhash64 content checksum persist across
+    blocks and a single checksum closes the frame."""
+
+    def __init__(self, sink, level: int = 3):
+        from .params import compute as _params
+
         self._sink = sink
         self._level = level
-        self._frame = frame_size
-        self._buf = bytearray()
+        self._params = _params(level, None)
+        # window from the level table (cap 23 = the decoder-side maximum);
+        # history below blockSize would allow no cross-block matches
+        wlog = max(18, min(self._params.window_log, 23))
+        self._window = 1 << wlog
+        self._ctx = self._window - C.MAX_BLOCK_SIZE
+        self._hist = b""
+        self._pending = bytearray()
+        self._rep = list(C.REP_INIT)
+        self._hash = xxh.XxHash64State()
         self._finished = False
+        self._wrote_header = False
+        self._wlog = wlog
 
     def writable(self) -> bool:
         return True
 
+    def _write_header(self) -> None:
+        out = bytearray()
+        out += int(frame_enc.MAGIC).to_bytes(4, "little")
+        # FHD: no content size, not single-segment, checksum flag; then the
+        # window descriptor (power-of-two: exponent only)
+        out.append(0x04)
+        out.append((self._wlog - 10) << 3)
+        self._sink.write(bytes(out))
+        self._wrote_header = True
+
+    def _compress_block(self, block: bytes, last: int) -> None:
+        if not self._wrote_header:
+            self._write_header()
+        arr = np.frombuffer(self._hist + block, dtype=np.uint8)
+        start = len(self._hist)
+        ll, offsets, ml, literals = block_enc.find_sequences(
+            arr, self._params, start=start)
+        blk = arr[start:]
+        # _encode_block takes pre-repcode wire values = distance + 3
+        # (same bias _partition_blocks applies on the batch path)
+        self._sink.write(frame_enc._encode_block(
+            last, blk, ll, offsets + 3, ml, literals, self._rep))
+        self._hash.update(block)
+        self._hist = (self._hist + block)[-self._ctx:] if self._ctx else b""
+
     def write(self, data) -> int:
         if self._finished:
             raise ValueError("stream already finished")
-        self._buf += bytes(data)
-        while len(self._buf) >= self._frame:
-            self._emit(bytes(self._buf[: self._frame]))
-            del self._buf[: self._frame]
+        data = bytes(data)
+        self._pending += data
+        while len(self._pending) > C.MAX_BLOCK_SIZE:
+            # strictly greater: the final full block must become `last`
+            # in finish() if nothing follows
+            self._compress_block(
+                bytes(self._pending[: C.MAX_BLOCK_SIZE]), last=0)
+            del self._pending[: C.MAX_BLOCK_SIZE]
         return len(data)
 
-    def _emit(self, chunk: bytes) -> None:
-        self._sink.write(frame_enc.compress_bytes(chunk, self._level))
-
     def finish(self) -> None:
-        if not self._finished:
-            self._emit(bytes(self._buf))  # empty frame marks empty stream
-            self._buf.clear()
-            self._finished = True
+        if self._finished:
+            return
+        if not self._wrote_header:
+            self._write_header()
+        self._compress_block(bytes(self._pending), last=1)
+        self._pending.clear()
+        digest = self._hash.digest()
+        self._sink.write(int(digest & 0xFFFFFFFF).to_bytes(4, "little"))
+        self._finished = True
 
     def close(self) -> None:
         if not self.closed:

@@ -52,18 +52,53 @@ def test_multi_frame_and_skippable():
     assert dec.finished()
 
 
-def test_output_stream_multi_frame():
+def test_output_stream_single_frame_chunked_writes():
+    """True streaming: ONE frame per stream regardless of write chunking
+    (reference ZstdOutputStream.java:154-221), oracle-decodable."""
     data = _data()
     sink = io.BytesIO()
-    zs = ZstdOutputStream(sink, 3, frame_size=100_000)
+    zs = ZstdOutputStream(sink, 3)
     for i in range(0, len(data), 33_333):
         zs.write(data[i : i + 33_333])
     zs.finish()
     blob = sink.getvalue()
+    assert blob.count(b"\x28\xb5\x2f\xfd") == 1  # one frame header
     r = zstandard.ZstdDecompressor().stream_reader(
         io.BytesIO(blob), read_across_frames=True
     )
     assert r.read() == data
+    assert decompress_stream(blob) == data
+
+
+def test_output_stream_window_carries_across_writes():
+    """The match window survives write() boundaries: incompressible data
+    written twice compresses the second copy as one cross-write match."""
+    import numpy as np
+
+    rep = bytes(np.random.default_rng(7).integers(0, 256, 100_000,
+                                                  dtype=np.uint8))
+    sink = io.BytesIO()
+    zs = ZstdOutputStream(sink)
+    zs.write(rep)
+    zs.write(rep)
+    zs.finish()
+    blob = sink.getvalue()
+    assert zstandard.ZstdDecompressor().decompress(
+        blob, max_output_size=len(rep) * 2) == rep + rep
+    assert len(blob) < 110_000  # second copy collapsed to matches
+
+
+def test_output_stream_longer_than_window():
+    """Streams larger than the window stay a single decodable frame."""
+    data = (_data() * 6)[: 3 << 20]
+    sink = io.BytesIO()
+    zs = ZstdOutputStream(sink)
+    for i in range(0, len(data), 77_777):
+        zs.write(data[i : i + 77_777])
+    zs.finish()
+    blob = sink.getvalue()
+    assert zstandard.ZstdDecompressor().decompress(
+        blob, max_output_size=len(data)) == data
     assert decompress_stream(blob) == data
 
 

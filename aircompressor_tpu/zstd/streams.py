@@ -153,9 +153,12 @@ class ZstdIncrementalFrameDecompressor:
                 if avail() < in_size:
                     self.input_required = in_size - avail()
                     break
-                payload = np.frombuffer(
-                    buf, dtype=np.uint8, count=max(in_size, 1), offset=pos
-                )
+                # a zero-size block (content ending exactly on a block
+                # boundary emits an empty RAW last block) must not read:
+                # pos may sit exactly at the buffer end here
+                payload = (np.frombuffer(buf, dtype=np.uint8, count=in_size,
+                                         offset=pos)
+                           if in_size else np.zeros(0, np.uint8))
                 self._ensure_capacity(max(bsize, C.MAX_BLOCK_SIZE))
                 old_len = self._len
                 self._len = frame_dec.decode_block_into(

@@ -56,25 +56,39 @@ ENCODE_BATCH = 64
 ZSTD_BATCH = 128
 
 
-def load_corpus(max_bytes: int = 16 << 20) -> bytes:
-    names = [
-        "urls.10K", "html", "geo.protodata", "kppkn.gtb", "house.jpg",
-        "mapreduce-osdi-1.pdf", "large/bible.txt", "large/world192.txt",
-    ]
+# The FROZEN metric corpus (BASELINE.md; Silesia is absent from this
+# snapshot). Order and truncation are part of the definition so rounds
+# stay comparable; the manifest (names + sha256) is emitted per run.
+CORPUS_NAMES = [
+    "urls.10K", "html", "geo.protodata", "kppkn.gtb", "house.jpg",
+    "mapreduce-osdi-1.pdf", "large/bible.txt", "large/world192.txt",
+]
+
+
+def load_corpus(max_bytes: int = 16 << 20, manifest: dict | None = None) -> bytes:
+    import hashlib
+
     blobs = []
     total = 0
-    for n in names:
+    files = []
+    for n in CORPUS_NAMES:
         p = os.path.join(TESTDATA, n)
         if os.path.exists(p):
             b = open(p, "rb").read()
             blobs.append(b)
+            files.append((n, len(b), hashlib.sha256(b).hexdigest()[:16]))
             total += len(b)
             if total >= max_bytes:
                 break
     data = b"".join(blobs)
     if len(data) < max_bytes:
         data = (data * (max_bytes // max(len(data), 1) + 1))
-    return data[:max_bytes]
+    data = data[:max_bytes]
+    if manifest is not None:
+        manifest["corpus_files"] = [
+            {"name": n, "bytes": sz, "sha256_16": h} for n, sz, h in files]
+        manifest["corpus_sha256_16"] = hashlib.sha256(data).hexdigest()[:16]
+    return data
 
 
 class DegradedSession(RuntimeError):
@@ -136,10 +150,10 @@ def device_benchmarks(data: bytes, detail: dict) -> None:
     from aircompressor_tpu.lzo import LzoCompressor
     from aircompressor_tpu.ops import (
         lz4_encode_pallas,
-        lz4_pallas,
-        lzo_pallas,
+        lz4_pallas_w,
+        lzo_pallas_w,
         snappy_encode_pallas,
-        snappy_pallas8,
+        snappy_pallas_w,
         xxhash_pallas,
     )
     from aircompressor_tpu.snappy import SnappyCompressor
@@ -195,9 +209,9 @@ def device_benchmarks(data: bytes, detail: dict) -> None:
     # --- decode megakernels: ONE Pallas launch per batch (the device
     # analogue of the reference's one JNI call, lz4/Lz4Native.java:30-41)
     for name, comp_factory, dec in (
-        ("snappy", SnappyCompressor.create, snappy_pallas8.decode),
-        ("lz4", Lz4Compressor.create, lz4_pallas.decode),
-        ("lzo", LzoCompressor.create, lzo_pallas.decode),
+        ("snappy", SnappyCompressor.create, snappy_pallas_w.decode),
+        ("lz4", Lz4Compressor.create, lz4_pallas_w.decode),
+        ("lzo", LzoCompressor.create, lzo_pallas_w.decode),
     ):
         _stage(f"decode {name}: compressing batch")
         comp = comp_factory()
@@ -223,20 +237,25 @@ def device_benchmarks(data: bytes, detail: dict) -> None:
             assert out_np[i, : olens_np[i]].tobytes() == pairs[i][0]
         del out, out_np
 
+        REPS = 3  # sustained: back-to-back calls amortize the ~25ms relay
+        # round-trip that a single-call measurement would charge to the run
+
         def run_meta():
-            r = dec(d, l)
-            np.asarray(r[1])
-            np.asarray(r[2])  # lens+ok: completion of every grid step
+            rs = [dec(d, l) for _ in range(REPS)]
+            for r in rs:
+                np.asarray(r[1])
+                np.asarray(r[2])  # lens+ok: completion of every grid step
 
         def run_full():
-            r = dec(d, l)
-            np.asarray(r[0])  # plus output offload through the tunnel
+            rs = [dec(d, l) for _ in range(REPS)]
+            for r in rs:
+                np.asarray(r[0])  # plus output offload through the tunnel
 
         _stage(f"decode {name}: timing meta")
-        dt = gated_best(run_meta)
+        dt = gated_best(run_meta) / REPS
         detail[f"{name}_decode_device_GBps"] = raw_bytes / dt / 1e9
         _stage(f"decode {name}: timing full")
-        dt = gated_best(run_full, trials=2)
+        dt = gated_best(run_full, trials=2) / REPS
         detail[f"{name}_decode_device_offload_GBps"] = raw_bytes / dt / 1e9
         del d, l
 
@@ -260,7 +279,7 @@ def device_benchmarks(data: bytes, detail: dict) -> None:
             codec.decompress_chunks(frames)
 
         _stage("zstd device: timing")
-        dt = gated_best(run_z, trials=2, patience_s=60.0)
+        dt = gated_best(run_z, trials=2, patience_s=120.0)
         detail["zstd_decode_device_GBps"] = raw_bytes / dt / 1e9
     except Exception as e:  # noqa: BLE001
         detail["zstd_decode_device_error"] = str(e)[:300]
@@ -272,9 +291,17 @@ def device_benchmarks(data: bytes, detail: dict) -> None:
             return comp, clens
         return run
 
-    for name, enc, ref_factory in (
-        ("snappy", _enc_of(snappy_encode_pallas), SnappyCompressor.create),
-        ("lz4", _enc_of(lz4_encode_pallas), Lz4Compressor.create),
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    import oracles as _oracles
+
+    for name, enc, ref_compress in (
+        ("snappy", _enc_of(snappy_encode_pallas),
+         _oracles.snappy_compress if _oracles.snappy_lib() is not None
+         else SnappyCompressor.create().compress),
+        ("lz4", _enc_of(lz4_encode_pallas),
+         _oracles.lz4_compress if _oracles.lz4_lib() is not None
+         else Lz4Compressor.create().compress),
     ):
         chunks = all_chunks[:ENCODE_BATCH]
         raw_bytes = sum(map(len, chunks))
@@ -283,15 +310,18 @@ def device_benchmarks(data: bytes, detail: dict) -> None:
         _stage(f"encode {name}: compiling")
         comp, clens = enc(d, l)
         clens_np = np.asarray(clens)
+        # ratio vs the UPSTREAM library (the reference's native tier), the
+        # bar VERDICT/BASELINE track — not our own (stronger) native tier
         detail[f"{name}_encode_device_size_ratio"] = float(
-            clens_np.sum()) / sum(len(ref_factory().compress(c)) for c in chunks)
+            clens_np.sum()) / sum(len(ref_compress(c)) for c in chunks)
 
         def run_e():
-            r = enc(d, l)
-            np.asarray(r[1])
+            rs = [enc(d, l) for _ in range(3)]
+            for r in rs:
+                np.asarray(r[1])
 
         _stage(f"encode {name}: timing")
-        dt = gated_best(run_e, trials=2, patience_s=60.0)
+        dt = gated_best(run_e, trials=2, patience_s=60.0) / 3
         detail[f"{name}_encode_device_GBps"] = raw_bytes / dt / 1e9
         del d, l
 
@@ -304,10 +334,12 @@ def device_benchmarks(data: bytes, detail: dict) -> None:
     jax.block_until_ready(xxhash_pallas.xxh64(d, l))
 
     def run_h():
-        np.asarray(xxhash_pallas.xxh64(d, l)[0])
+        rs = [xxhash_pallas.xxh64(d, l) for _ in range(3)]
+        for r in rs:
+            np.asarray(r[0])
 
     _stage("xxh64: timing")
-    dt = gated_best(run_h)
+    dt = gated_best(run_h) / 3
     detail["xxh64_device_GBps"] = B * CHUNK / dt / 1e9
 
 
@@ -463,9 +495,9 @@ def _probe_pool(timeout_s: float = 120.0) -> None:
 
 
 def main() -> None:
-    data = load_corpus()
-    detail = {"corpus_bytes": len(data),
-              "bench_attempt": int(os.environ.get("BENCH_ATTEMPT", "0"))}
+    detail = {"bench_attempt": int(os.environ.get("BENCH_ATTEMPT", "0"))}
+    data = load_corpus(manifest=detail)
+    detail["corpus_bytes"] = len(data)
     try:
         _probe_pool()
         device_benchmarks(data, detail)

@@ -281,6 +281,23 @@ def device_benchmarks(data: bytes, detail: dict) -> None:
         _stage("zstd device: timing")
         dt = gated_best(run_z, trials=2, patience_s=120.0)
         detail["zstd_decode_device_GBps"] = raw_bytes / dt / 1e9
+
+        # device ENCODE tier (entropy emission on device, matcher on host;
+        # bit-identical to the host tier so the size story is the host's)
+        enc_chunks = all_chunks[:32]
+        enc_raw = sum(map(len, enc_chunks))
+        _stage("zstd device encode: compiling")
+        frames2 = codec.compress_chunks(enc_chunks)
+        assert codec.decompress_chunks(frames2) == enc_chunks
+
+        def run_ze():
+            codec.compress_chunks(enc_chunks)
+
+        _stage("zstd device encode: timing")
+        dt = gated_best(run_ze, trials=2, patience_s=60.0)
+        detail["zstd_encode_device_GBps"] = enc_raw / dt / 1e9
+        detail["zstd_encode_device_size_ratio"] = sum(
+            map(len, frames2)) / sum(len(zc.compress(c)) for c in enc_chunks)
     except Exception as e:  # noqa: BLE001
         detail["zstd_decode_device_error"] = str(e)[:300]
 

@@ -167,3 +167,37 @@ def test_structured_fuzz_round_trip():
         comp = ZstdRefCompressor().compress(data)
         assert oracles.zstd_decompress(comp, len(data)) == data, trial
         assert d.decompress(comp, len(data)) == data, trial
+
+
+def test_device_encode_tier_bit_identical_and_oracle_decodable():
+    """ops/zstd_encode_jax: device entropy emission produces byte-identical
+    frames to the host tier (same tables, same emission order) and libzstd
+    decodes them (VERDICT r2 #6 done-criteria)."""
+    import oracles
+    from aircompressor_tpu.ops import zstd_encode_jax as ze
+    from aircompressor_tpu.zstd import frame_enc as fe
+
+    data = open("/root/reference/testdata/urls.10K", "rb").read()
+    rng = np.random.default_rng(11)
+    chunks = [data[i : i + 65536] for i in range(0, 5 * 65536, 65536)]
+    chunks += [
+        b"",  # empty -> host fallback
+        b"z" * 50000,  # RLE literals -> host fallback
+        bytes(rng.integers(0, 256, 30000, dtype=np.uint8)),  # incompressible
+        (b"ab" * 100 + bytes(rng.integers(0, 256, 200, dtype=np.uint8))) * 80,
+    ]
+    outs = ze.compress_batch(chunks)
+    for i, (c, f) in enumerate(zip(chunks, outs)):
+        assert f == fe.compress_bytes(bytes(c)), f"chunk {i} differs from host"
+        if oracles.zstd_lib() is not None:
+            assert oracles.zstd_decompress(f, len(c)) == c, i
+
+
+def test_batch_codec_device_encode_round_trip():
+    from aircompressor_tpu.ops.batch import ZstdBatchCodec
+
+    data = open("/root/reference/testdata/html", "rb").read()
+    chunks = [data[i : i + 65536] for i in range(0, len(data), 65536)]
+    codec = ZstdBatchCodec()
+    frames = codec.compress_chunks(chunks)
+    assert codec.decompress_chunks(frames) == chunks

@@ -52,54 +52,26 @@ def _write_frame_header(out: bytearray, content_size: int) -> None:
         out += int(content_size).to_bytes(8, "little")
 
 
-def _literals_section(literals: np.ndarray) -> bytes:
-    n = literals.size
-    raw = _raw_literals(literals)
-    if n == 0:
-        return raw
-    first = int(literals[0])
-    if np.all(literals == first):
-        return _rle_literals(first, n)
-    if n < 32:
-        return raw
-    counts = np.bincount(literals, minlength=256)
-    if np.count_nonzero(counts) < 2:
-        return raw
-    ct = huff_enc.build_ctable(counts)
-    est_bits = huff_enc.estimate_compressed_bits(counts, ct)
-    # quick reject: must beat raw with some margin
-    if est_bits // 8 + 16 >= n:
-        return raw
-    table = huff_enc.write_table(ct)
-    single = n < 256
-    try:
-        payload = (
-            huff_enc.encode_single_stream(literals, ct)
-            if single
-            else huff_enc.encode_4_streams(literals, ct)
-        )
-    except ValueError:
-        return raw
-    comp = len(table) + len(payload)
-    regen = n
-    if single:
-        if regen >= 1 << 10 or comp >= 1 << 10:
-            return raw
-        header_len, size_format = 3, 0
-    elif regen < 1 << 10 and comp < 1 << 10:
-        header_len, size_format = 3, 1
-    elif regen < 1 << 14 and comp < 1 << 14:
-        header_len, size_format = 4, 2
-    elif regen < 1 << 18 and comp < 1 << 18:
-        header_len, size_format = 5, 3
-    else:
-        return raw
-    if header_len + comp >= len(raw):
-        return raw
+class EncoderContext:
+    """Cross-block entropy-table reuse within one frame (reference:
+    HuffmanCompressionContext double-buffer + repeat-mode sequence tables,
+    committed two-phase like CompressionContext.commit — a raw-block
+    fallback leaves the decoder's tables, and therefore this context,
+    untouched)."""
+
+    __slots__ = ("huff", "fields")
+
+    def __init__(self):
+        self.huff = None  # HuffmanCTable the decoder currently holds
+        self.fields = None  # (f_ll, f_of, f_ml) the decoder currently holds
+
+
+def _lit_header(btype: int, header_len: int, size_format: int, regen: int,
+                comp: int) -> bytes:
     out = bytearray()
-    b0 = C.COMPRESSED_LITERALS | (size_format << 2) | ((regen & 0xF) << 4)
+    b0 = btype | (size_format << 2) | ((regen & 0xF) << 4)
     if header_len == 3:
-        out.append(C.COMPRESSED_LITERALS | (size_format << 2) | ((regen & 0xF) << 4))
+        out.append(b0)
         out.append(((regen >> 4) & 0x3F) | ((comp & 3) << 6))
         out.append(comp >> 2)
     elif header_len == 4:
@@ -113,7 +85,69 @@ def _literals_section(literals: np.ndarray) -> bytes:
         out.append(((regen >> 12) & 0x3F) | ((comp & 3) << 6))
         out.append((comp >> 2) & 0xFF)
         out.append(comp >> 10)
-    return bytes(out) + table + payload
+    return bytes(out)
+
+
+def _fit_format(single: bool, regen: int, comp: int):
+    if single:
+        return (3, 0) if (regen < 1 << 10 and comp < 1 << 10) else None
+    if regen < 1 << 10 and comp < 1 << 10:
+        return 3, 1
+    if regen < 1 << 14 and comp < 1 << 14:
+        return 4, 2
+    if regen < 1 << 18 and comp < 1 << 18:
+        return 5, 3
+    return None
+
+
+def _literals_section(literals: np.ndarray, ctx: EncoderContext | None = None):
+    """Returns (section bytes, huffman table the decoder holds AFTER this
+    section) — raw/RLE sections leave the previous table valid."""
+    n = literals.size
+    prev_ct = ctx.huff if ctx is not None else None
+    raw = _raw_literals(literals)
+    if n == 0:
+        return raw, prev_ct
+    first = int(literals[0])
+    if np.all(literals == first):
+        return _rle_literals(first, n), prev_ct
+    if n < 32:
+        return raw, prev_ct
+    counts = np.bincount(literals, minlength=256)
+    if np.count_nonzero(counts) < 2:
+        return raw, prev_ct
+    ct = huff_enc.build_ctable(counts)
+    est_bits = huff_enc.estimate_compressed_bits(counts, ct)
+    # quick reject: must beat raw with some margin
+    if est_bits // 8 + 16 >= n:
+        return raw, prev_ct
+    single = n < 256
+    best = (len(raw), raw, prev_ct)
+
+    def consider(btype, table, use_ct, after):
+        nonlocal best
+        try:
+            payload = (huff_enc.encode_single_stream(literals, use_ct)
+                       if single
+                       else huff_enc.encode_4_streams(literals, use_ct))
+        except ValueError:
+            return
+        comp = len(table) + len(payload)
+        fmt = _fit_format(single, n, comp)
+        if fmt is None:
+            return
+        sec = _lit_header(btype, fmt[0], fmt[1], n, comp) + table + payload
+        if len(sec) < best[0]:
+            best = (len(sec), sec, after)
+
+    consider(C.COMPRESSED_LITERALS, huff_enc.write_table(ct), ct, ct)
+    # treeless reuse of the previous table (reference: treeless literals +
+    # HuffmanCompressionTable.estimateCompressedSize gain check) — valid
+    # only when the previous table covers every present symbol
+    if prev_ct is not None and bool(
+            np.all(prev_ct.nbits[np.nonzero(counts)[0]] > 0)):
+        consider(C.TREELESS_LITERALS, b"", prev_ct, prev_ct)
+    return best[1], best[2]
 
 
 def _raw_literals(literals: np.ndarray) -> bytes:
@@ -174,9 +208,10 @@ def compress(src: np.ndarray, dst: np.ndarray, level: int = 3) -> int:
     if not blocks:
         out += _block_header(1, C.RAW_BLOCK, 0)
     rep = list(C.REP_INIT)
+    ctx = EncoderContext()
     for bi, blk in enumerate(blocks):
         last = 1 if bi == len(blocks) - 1 else 0
-        out += _encode_block(last, *blk, rep)
+        out += _encode_block(last, *blk, rep, ctx)
 
     digest = _xxh64(src.tobytes())
     out += int(digest & 0xFFFFFFFF).to_bytes(4, "little")
@@ -319,18 +354,22 @@ def _apply_repcodes(ll, of_values, rep):
 
 
 def _encode_block(last: int, block: np.ndarray, ll, of_values, ml, literals,
-                  rep) -> bytes:
+                  rep, ctx: EncoderContext | None = None) -> bytes:
     n = block.size
-    # RLE block shortcut
+    # RLE block shortcut (leaves entropy tables + reps untouched)
     if n > 0 and np.all(block == block[0]):
         return _block_header(last, C.RLE_BLOCK, n) + bytes([int(block[0])])
     rep_before = list(rep)
     of_wire = _apply_repcodes(ll, of_values, rep)
-    lit_sec = _literals_section(literals)
-    seq_sec = seq_enc.compress_sequences(ll, of_wire, ml)
+    lit_sec, huff_after = _literals_section(literals, ctx)
+    seq_sec, fields_after = seq_enc.compress_sequences(
+        ll, of_wire, ml, ctx.fields if ctx is not None else None)
     body = lit_sec + seq_sec
     # minimum-gain check → raw fallback (reference: ZstdFrameCompressor L245-254)
     if len(body) + 3 >= n + 3 or len(body) >= n:
         rep[:] = rep_before  # raw block leaves decoder rep state untouched
         return _block_header(last, C.RAW_BLOCK, n) + block.tobytes()
+    if ctx is not None:  # two-phase commit on success only
+        ctx.huff = huff_after
+        ctx.fields = fields_after
     return _block_header(last, C.COMPRESSED_BLOCK, len(body)) + body

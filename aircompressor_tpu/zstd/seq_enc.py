@@ -61,40 +61,70 @@ def _field_cost_bits(counts: np.ndarray, norm: np.ndarray, log: int) -> float:
 
 
 class _Field:
-    __slots__ = ("mode", "ctable", "rle_symbol", "desc")
+    __slots__ = ("mode", "ctable", "rle_symbol", "desc", "norm", "log")
 
-    def __init__(self, mode, ctable, rle_symbol=0, desc=b""):
+    def __init__(self, mode, ctable, rle_symbol=0, desc=b"", norm=None,
+                 log=0):
         self.mode = mode
         self.ctable = ctable
         self.rle_symbol = rle_symbol
         self.desc = desc
+        # normalized distribution + log kept for REPEAT-mode cost checks
+        # by LATER blocks (reference estimateCompressedSize reuse heuristic)
+        self.norm = norm
+        self.log = log
 
 
 def _select_field(codes: np.ndarray, max_symbol: int, max_log: int,
-                  default_norm: np.ndarray, default_log: int) -> _Field:
+                  default_norm: np.ndarray, default_log: int,
+                  prev: "_Field | None" = None) -> _Field:
     counts = np.bincount(codes, minlength=max_symbol + 1)
     present = np.nonzero(counts)[0]
-    if present.size == 1:
+    if present.size == 1 and prev is None:
         ct = fse_enc.build_ctable(
             _rle_norm(int(present[0]), max_symbol), 0
         )
-        return _Field(C.SEQ_RLE, ct, rle_symbol=int(present[0]),
-                      desc=bytes([int(present[0])]))
+        sym = int(present[0])
+        return _Field(C.SEQ_RLE, ct, rle_symbol=sym, desc=bytes([sym]),
+                      norm=_rle_norm(sym, max_symbol), log=0)
     total = int(counts.sum())
-    # candidate: FSE-compressed table
-    log = fse_enc.optimal_table_log(max_log, total, int(present[-1]))
-    norm = fse_enc.normalize_counts(counts[: int(present[-1]) + 1], log, total)
-    desc = fse_enc.write_normalized_counts(norm, log)
-    fse_cost = _field_cost_bits(counts, norm, log) + 8 * len(desc)
-    # candidate: predefined
-    pre_cost = np.inf
-    if int(present[-1]) < default_norm.size:
-        pre_cost = _field_cost_bits(counts, default_norm, default_log)
-    if pre_cost <= fse_cost:
-        ct = fse_enc.build_ctable(default_norm.astype(np.int64), default_log)
-        return _Field(C.SEQ_PREDEFINED, ct)
-    ct = fse_enc.build_ctable(norm, log)
-    return _Field(C.SEQ_FSE, ct, desc=desc)
+    cands = []
+    # candidate: RLE (single present symbol)
+    if present.size == 1:
+        sym = int(present[0])
+        cands.append((8.0, _Field(
+            C.SEQ_RLE, fse_enc.build_ctable(_rle_norm(sym, max_symbol), 0),
+            rle_symbol=sym, desc=bytes([sym]),
+            norm=_rle_norm(sym, max_symbol), log=0)))
+    else:
+        # candidate: predefined (FIRST: ties keep the pre-reuse behavior
+        # of preferring predefined over a serialized table)
+        if int(present[-1]) < default_norm.size:
+            cands.append((
+                _field_cost_bits(counts, default_norm, default_log),
+                _Field(C.SEQ_PREDEFINED, None,
+                       norm=default_norm.astype(np.int64), log=default_log)))
+        # candidate: FSE-compressed table
+        log = fse_enc.optimal_table_log(max_log, total, int(present[-1]))
+        norm = fse_enc.normalize_counts(
+            counts[: int(present[-1]) + 1], log, total)
+        desc = fse_enc.write_normalized_counts(norm, log)
+        cands.append((_field_cost_bits(counts, norm, log) + 8 * len(desc),
+                      _Field(C.SEQ_FSE, None, desc=desc, norm=norm, log=log)))
+    # candidate: REPEAT the table the decoder currently holds (reference:
+    # repeat-mode sequences tables, SequenceEncoder selectEncodingType)
+    if (prev is not None and prev.norm is not None
+            and int(present[-1]) < prev.norm.size
+            and np.all(prev.norm[present] != 0)):
+        cands.append((
+            _field_cost_bits(counts, prev.norm, prev.log),
+            _Field(C.SEQ_REPEAT, prev.ctable, norm=prev.norm,
+                   log=prev.log)))
+    best = min(cands, key=lambda t: t[0])[1]
+    if best.ctable is None:
+        best.ctable = fse_enc.build_ctable(
+            best.norm.astype(np.int64), best.log)
+    return best
 
 
 def _rle_norm(symbol: int, max_symbol: int) -> np.ndarray:
@@ -104,25 +134,32 @@ def _rle_norm(symbol: int, max_symbol: int) -> np.ndarray:
     return n
 
 
-def compress_sequences(ll: np.ndarray, of_values: np.ndarray, ml: np.ndarray) -> bytes:
+def compress_sequences(ll: np.ndarray, of_values: np.ndarray, ml: np.ndarray,
+                       prev_fields=None):
     """Encode the sequences section. ``of_values`` are wire offset values
-    (rep-adjusted: 1-3 = repcodes, else real_offset+3)."""
+    (rep-adjusted: 1-3 = repcodes, else real_offset+3).
+
+    ``prev_fields`` = (f_ll, f_of, f_ml) the decoder currently holds from an
+    earlier block in the same frame — enables REPEAT mode (reference:
+    cross-block table reuse, SequenceEncoder + CompressionContext.commit).
+    Returns (bytes, used_fields) so the caller can two-phase-commit."""
     n = int(ll.size)
     out = bytearray()
     _write_count_header(out, n)
     if n == 0:
-        return bytes(out)
+        return bytes(out), prev_fields
 
     llc = ll_code(ll.astype(np.int64))
     mlc = ml_code(ml.astype(np.int64))
     ofc = of_code(of_values.astype(np.int64))
 
+    p_ll, p_of, p_ml = prev_fields or (None, None, None)
     f_ll = _select_field(llc, C.MAX_LL_SYMBOL, C.LL_TABLE_LOG_MAX,
-                         C.LL_DEFAULT_NORM, C.LL_DEFAULT_LOG)
+                         C.LL_DEFAULT_NORM, C.LL_DEFAULT_LOG, p_ll)
     f_of = _select_field(ofc, C.MAX_OF_SYMBOL, C.OF_TABLE_LOG_MAX,
-                         C.OF_DEFAULT_NORM, C.OF_DEFAULT_LOG)
+                         C.OF_DEFAULT_NORM, C.OF_DEFAULT_LOG, p_of)
     f_ml = _select_field(mlc, C.MAX_ML_SYMBOL, C.ML_TABLE_LOG_MAX,
-                         C.ML_DEFAULT_NORM, C.ML_DEFAULT_LOG)
+                         C.ML_DEFAULT_NORM, C.ML_DEFAULT_LOG, p_ml)
 
     modes = (f_ll.mode << 6) | (f_of.mode << 4) | (f_ml.mode << 2)
     out.append(modes)
@@ -199,4 +236,4 @@ def compress_sequences(ll: np.ndarray, of_values: np.ndarray, ml: np.ndarray) ->
         f_of.ctable.table_log,
         f_ll.ctable.table_log,
     )
-    return bytes(out) + pack_backward(vals, bits)
+    return bytes(out) + pack_backward(vals, bits), (f_ll, f_of, f_ml)

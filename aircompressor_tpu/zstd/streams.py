@@ -309,6 +309,7 @@ class ZstdOutputStream(io.RawIOBase):
         self._hist = b""
         self._pending = bytearray()
         self._rep = list(C.REP_INIT)
+        self._ectx = frame_enc.EncoderContext()
         self._hash = xxh.XxHash64State()
         self._finished = False
         self._wrote_header = False
@@ -338,7 +339,8 @@ class ZstdOutputStream(io.RawIOBase):
         # _encode_block takes pre-repcode wire values = distance + 3
         # (same bias _partition_blocks applies on the batch path)
         self._sink.write(frame_enc._encode_block(
-            last, blk, ll, offsets + 3, ml, literals, self._rep))
+            last, blk, ll, offsets + 3, ml, literals, self._rep,
+            self._ectx))
         self._hash.update(block)
         self._hist = (self._hist + block)[-self._ctx:] if self._ctx else b""
 

@@ -201,3 +201,27 @@ def test_batch_codec_device_encode_round_trip():
     codec = ZstdBatchCodec()
     frames = codec.compress_chunks(chunks)
     assert codec.decompress_chunks(frames) == chunks
+
+
+def test_cross_block_table_reuse_gains_ratio():
+    """Multi-block frames reuse entropy tables (treeless literals + REPEAT
+    sequence tables) when the estimate favors them; the frame stays
+    libzstd-decodable and smaller than block-independent encoding."""
+    from aircompressor_tpu.zstd import frame_enc as fe
+
+    data = open("/root/reference/testdata/large/bible.txt", "rb").read()[: 1 << 20]
+    blob = fe.compress_bytes(data)
+    assert oracles.zstd_decompress(blob, len(data)) == data
+    # block-independent baseline: each 128KB chunk as its own frame
+    indep = sum(len(fe.compress_bytes(data[i : i + 131072]))
+                for i in range(0, len(data), 131072))
+    assert len(blob) < indep  # reuse (+ window) must win
+
+    # the r2 VERDICT trap: tiny literal sections following an
+    # incompressible block must still encode/decode correctly when the
+    # previous table cannot cover them
+    rng = np.random.default_rng(3)
+    tricky = (bytes(rng.integers(0, 256, 200_000, dtype=np.uint8))
+              + b"abab" * 40_000)
+    blob = fe.compress_bytes(tricky)
+    assert oracles.zstd_decompress(blob, len(tricky)) == tricky

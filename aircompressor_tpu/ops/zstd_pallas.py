@@ -119,17 +119,20 @@ def _huffman_kernel(iters_ref, params_ref, src_ref, out_ref, meta_ref):
 
     def peek(gr, rem):
         """Top log bits of the group's 8 streams (zero-padded near the end):
-        per-stream dynamic ROW-pair loads + ONE split-gather for the 3 feed
-        bytes of every stream."""
+        one 2-row slice per stream + ONE split-gather for the 3 feed
+        bytes of every stream. (A two-symbol variant with a 32-bit window
+        measured SLOWER: the second canonical walk serializes behind the
+        first's bit count, so the chain does not shorten.)"""
         take = jnp.clip(rem, 0, gr["log"])
         lo_bit = gr["bitbase"] + rem - take
         byte0 = lo_bit >> 3  # (8,1)
         sh = lo_bit & 7
         ra, rb = [], []
         for r in range(S):
-            r0 = byte0[r, 0] >> 7
-            ra.append(src_ref[pl.ds(jnp.clip(r0, 0, src_rows - 1), 1), :])
-            rb.append(src_ref[pl.ds(jnp.clip(r0 + 1, 0, src_rows - 1), 1), :])
+            r0 = jnp.clip(byte0[r, 0] >> 7, 0, src_rows - 2)
+            pr = src_ref[pl.ds(r0, 2), :]  # one slice, rows are consecutive
+            ra.append(pr[0:1])
+            rb.append(pr[1:2])
         Ha = jnp.concatenate(ra, axis=0)
         Hb = jnp.concatenate(rb, axis=0)
         pk = _gather2(Ha, Hb, (byte0 & 127) + jnp.minimum(lane, 2))
@@ -280,9 +283,10 @@ def _fse_kernel(iters_ref, params_ref, tabs_ref, info_ref, srcw_ref,
         qwv = jnp.maximum(((bitbase + rem) - 82) >> 5, 0)  # (8,1)
         ra, rb = [], []
         for r in range(S):
-            r0 = qwv[r, 0] >> 7
-            ra.append(srcw_ref[pl.ds(jnp.clip(r0, 0, srcw_rows - 1), 1), :])
-            rb.append(srcw_ref[pl.ds(jnp.clip(r0 + 1, 0, srcw_rows - 1), 1), :])
+            r0 = jnp.clip(qwv[r, 0] >> 7, 0, srcw_rows - 2)
+            pr = srcw_ref[pl.ds(r0, 2), :]  # one slice, rows are consecutive
+            ra.append(pr[0:1])
+            rb.append(pr[1:2])
         Wa = jnp.concatenate(ra, axis=0)
         Wb = jnp.concatenate(rb, axis=0)
         pk = _gather2(Wa, Wb, (qwv & 127) + jnp.minimum(lane, 4))
@@ -481,17 +485,15 @@ def _execute_kernel(iters_ref, frames_ref, desc_ref, seq3_ref,
     litsrc_rows = litsrc_ref.shape[0]
 
     def rows_of(ref, row_cap, q, base=None, pad=0):
-        """Per-frame (row, row+1) pair loads -> two (S,128) tiles."""
+        """Per-frame (row, row+1) pair: ONE 2-row slice per frame."""
         ra, rb = [], []
         for r in range(S):
-            rr = q[r, 0] >> 7
-            r0 = jnp.clip(rr, 0, row_cap - 1)
-            r1 = jnp.clip(rr + 1, 0, row_cap - 1)
+            r0 = jnp.clip(q[r, 0] >> 7, 0, row_cap - 2)
             if base is not None:
                 r0 = r0 + (base + pad) * r
-                r1 = r1 + (base + pad) * r
-            ra.append(ref[pl.ds(r0, 1), :])
-            rb.append(ref[pl.ds(r1, 1), :])
+            pr = ref[pl.ds(r0, 2), :]
+            ra.append(pr[0:1])
+            rb.append(pr[1:2])
         return jnp.concatenate(ra, axis=0), jnp.concatenate(rb, axis=0)
 
     def seq3_tile(sq):

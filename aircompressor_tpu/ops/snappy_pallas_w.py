@@ -1,7 +1,7 @@
 """Snappy block decode — unified-buffer, group-interleaved Pallas megakernel.
 
 Format parity: reference snappy/SnappyRawDecompressor.java:30-220 (varint
-length, tag dispatch, strict validation). Successor to snappy_pallas_mt.
+length, tag dispatch, strict validation). Successor to the r2 single-token kernel (snappy_pallas8).
 Two measured facts drive the design (amortized timing; the device tunnel
 costs ~25ms per program round-trip and inflated every small single-call
 measurement):
@@ -21,7 +21,7 @@ Per token step each chunk costs the scalar unit 1 extract + 1 clip +
 1 two-row slice; the 128-byte register window (`tile`) serves
 self-overlapping lanes (rows below the window are final in memory
 because every iteration stores its tile). Iterations fill one window
-per chunk via K unrolled token steps (window-fill, see snappy_pallas_mt).
+per chunk via K unrolled token steps (window-fill).
 
 Layout contract matches snappy_pallas8.decode (same wrapper signature).
 """

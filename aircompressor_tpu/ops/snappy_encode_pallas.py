@@ -176,7 +176,19 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
         add = jnp.min(jnp.where(neq, lane, 128), axis=1, keepdims=True)
         ex_mlen = mlen + add
         ex_done = (add < 128) | (ip + ex_mlen >= nlen)
-        litlen = ip - anchor
+        # backward extension: grow the match into the pending literals while
+        # the preceding bytes also match (the format permits it even though
+        # the reference's snappy encoder never emits it; same trick as
+        # lz4_encode_pallas — both ends shift so the offset is unchanged)
+        bpa, bpb = in_pair(ip - 128)
+        bca, bcb = in_pair(cand - 128)
+        wpb = gather2(bpa, bpb, ((ip - 128) & 127) + lane)
+        wqb = gather2(bca, bcb, ((cand - 128) & 127) + lane)
+        cap_back = jnp.clip(jnp.minimum(ip - anchor, cand), 0, 127)
+        badl = (wpb != wqb) | (lane < 128 - cap_back)
+        last_bad = jnp.max(jnp.where(badl, lane, -1), axis=1, keepdims=True)
+        back = jnp.where(in_ext & ex_done, 127 - last_bad, 0)
+        litlen = ip - back - anchor
 
         # ---------------- PH_TAIL
         in_tail = need & (phase == PH_TAIL)
@@ -214,7 +226,7 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
         n_skip = jnp.where(in_scan, sc_skip, skip)
         n_cand = jnp.where(in_scan, sc_cand, cand)
         n_mlen = jnp.where(in_scan, sc_mlen,
-                           jnp.where(in_ext, ex_mlen,
+                           jnp.where(in_ext, ex_mlen + back,
                                      jnp.where(in_cpy, cp_left, mlen)))
         n_mend = jnp.where(in_ext & ex_done, ip + ex_mlen, mend)
         n_phase = jnp.where(

@@ -117,25 +117,42 @@ def _huffman_kernel(iters_ref, params_ref, src_ref, out_ref, meta_ref):
             cum=[p[:, A_CUM + w : A_CUM + w + 1] for w in range(12)],
         ))
 
-    def peek(gr, rem):
-        """Top log bits of the group's 8 streams (zero-padded near the end):
-        one 2-row slice per stream + ONE split-gather for the 3 feed
-        bytes of every stream. (A two-symbol variant with a 32-bit window
-        measured SLOWER: the second canonical walk serializes behind the
-        first's bit count, so the chain does not shorten.)"""
+    A_T = 64  # iterations served per stream-window reload: a (2,128) row
+    # pair holds 2048 bits and one iteration consumes <= 12, so 64
+    # iterations stay inside it — the scalar-unit loads (the binding
+    # resource) amortize 64x vs a load per iteration.
+
+    def load_window(gr, rem):
+        """(Ha, Hb, base_byte) rows (r_hi-1, r_hi) per stream, where r_hi
+        is the row holding the stream's current top byte."""
+        # +2: the 3-byte peek reads up to 2 bytes above the stream's top
+        # byte; the window's upper row must contain them
+        hi_byte = ((gr["bitbase"] + rem) >> 3) + 2
+        ra, rb = [], []
+        r_his = []
+        for r in range(S):
+            r_hi = jnp.clip(hi_byte[r, 0] >> 7, 1, src_rows - 1)
+            pr = src_ref[pl.ds(r_hi - 1, 2), :]
+            ra.append(pr[0:1])
+            rb.append(pr[1:2])
+            r_his.append(r_hi)
+        Ha = jnp.concatenate(ra, axis=0)
+        Hb = jnp.concatenate(rb, axis=0)
+        base = (jnp.stack(r_his).reshape(S, 1) - 1) * LANES
+        return Ha, Hb, base
+
+    def peek(gr, win, rem):
+        """Top log bits of the group's 8 streams (zero-padded near the end)
+        from the register window: ONE split-gather, no loads. (A two-symbol
+        variant measured SLOWER: the second canonical walk serializes
+        behind the first's bit count, so the chain does not shorten.)"""
+        Ha, Hb, base = win
         take = jnp.clip(rem, 0, gr["log"])
         lo_bit = gr["bitbase"] + rem - take
         byte0 = lo_bit >> 3  # (8,1)
         sh = lo_bit & 7
-        ra, rb = [], []
-        for r in range(S):
-            r0 = jnp.clip(byte0[r, 0] >> 7, 0, src_rows - 2)
-            pr = src_ref[pl.ds(r0, 2), :]  # one slice, rows are consecutive
-            ra.append(pr[0:1])
-            rb.append(pr[1:2])
-        Ha = jnp.concatenate(ra, axis=0)
-        Hb = jnp.concatenate(rb, axis=0)
-        pk = _gather2(Ha, Hb, (byte0 & 127) + jnp.minimum(lane, 2))
+        pk = _gather2(Ha, Hb,
+                      jnp.clip(byte0 - base, 0, 253) + jnp.minimum(lane, 2))
         w = pk[:, 0:1] | (pk[:, 1:2] << 8) | (pk[:, 2:3] << 16)
         v = _srl(w, sh) & ((1 << take) - 1)
         return v << (gr["log"] - take)
@@ -158,9 +175,9 @@ def _huffman_kernel(iters_ref, params_ref, src_ref, out_ref, meta_ref):
             def _():
                 out_ref[pl.ds(row, 1), :] = sym[r : r + 1, :]
 
-    def step(a, i, rem, tile):
+    def step(a, i, win, rem, tile):
         gr = groups[a]
-        st = peek(gr, rem)
+        st = peek(gr, win, rem)
         rank = jnp.zeros((S, 1), I32)
         nb = jnp.zeros((S, 1), I32)
         for w in range(1, 13):
@@ -172,12 +189,13 @@ def _huffman_kernel(iters_ref, params_ref, src_ref, out_ref, meta_ref):
         rem = jnp.where(i < gr["nsym"], rem - nb, rem)
         return rem, tile
 
-    def body(i, c):
-        rems, tiles = c
+    def inner(o, j, c):
+        rems, tiles, wins = c
+        i = o * A_T + j
         n_rems, n_tiles = [], []
         # interleaved: HUFF_AG independent chains per iteration
         for a in range(HUFF_AG):
-            rem, tile = step(a, i, rems[a], tiles[a])
+            rem, tile = step(a, i, wins[a], rems[a], tiles[a])
             n_rems.append(rem)
             n_tiles.append(tile)
         @pl.when((i & 127) == 127)
@@ -186,13 +204,27 @@ def _huffman_kernel(iters_ref, params_ref, src_ref, out_ref, meta_ref):
                 flush(a, i >> 7, n_tiles[a])
         zt = jnp.zeros((S, LANES), I32)
         n_tiles = [jnp.where((i & 127) == 127, zt, t) for t in n_tiles]
-        return (tuple(n_rems), tuple(n_tiles))
+        return (tuple(n_rems), tuple(n_tiles), wins)
 
+    def outer(o, c):
+        rems, tiles, _wins = c
+        wins = tuple(load_window(groups[a], rems[a]) for a in range(HUFF_AG))
+        return jax.lax.fori_loop(
+            0, A_T, lambda j, cc: inner(o, j, cc), (rems, tiles, wins))
+
+    init_wins = tuple(
+        load_window(groups[a], groups[a]["p"][:, A_REM : A_REM + 1])
+        for a in range(HUFF_AG))
     init = (tuple(groups[a]["p"][:, A_REM : A_REM + 1] for a in range(HUFF_AG)),
-            tuple(jnp.zeros((S, LANES), I32) for _ in range(HUFF_AG)))
-    rems, tiles = jax.lax.fori_loop(0, iters, body, init)
+            tuple(jnp.zeros((S, LANES), I32) for _ in range(HUFF_AG)),
+            init_wins)
+    total = ((iters + A_T - 1) // A_T) * A_T
+    rems, tiles, _ = jax.lax.fori_loop(0, total // A_T, outer, init)
 
-    @pl.when((iters & 127) != 0)
+    # the loop's own (i&127)==127 flush already stored the final data row
+    # when the rounded-up iteration count crossed its boundary (and zeroed
+    # the tile); only flush here when it did not
+    @pl.when(((iters & 127) != 0) & (total < ((iters >> 7) + 1) * 128))
     def _():
         for a in range(HUFF_AG):
             flush(a, iters >> 7, tiles[a])

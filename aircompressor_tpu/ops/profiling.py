@@ -100,7 +100,7 @@ def kernel_rows(data: bytes | None = None, batch: int = 256,
 
     from ..lz4 import Lz4Compressor
     from ..snappy import SnappyCompressor
-    from . import lz4_pallas, snappy_pallas8, xxhash_pallas
+    from . import lz4_pallas_w, snappy_pallas_w, xxhash_pallas
 
     if data is None:
         rng = np.random.default_rng(0)
@@ -115,9 +115,9 @@ def kernel_rows(data: bytes | None = None, batch: int = 256,
 
     for name, comp_factory, dec, sub in (
         ("snappy_decode_megakernel", SnappyCompressor.create,
-         snappy_pallas8.decode, snappy_pallas8.SUB),
-        ("lz4_decode_megakernel", Lz4Compressor.create, lz4_pallas.decode,
-         lz4_pallas.SUB),
+         snappy_pallas_w.decode, snappy_pallas_w.SUB),
+        ("lz4_decode_megakernel", Lz4Compressor.create, lz4_pallas_w.decode,
+         lz4_pallas_w.SUB),
     ):
         buf, lens = _mk_batch(comp_factory().compress, chunks)
         d, l = jnp.asarray(buf), jnp.asarray(lens)

@@ -204,7 +204,9 @@ def find_sequences(block: np.ndarray, params=None, start: int = 0):
         depths.append(max(1, params.depth // 2))
     cands = []
     for h, depth in zip(hashes, depths):
-        order = np.argsort(h, kind="stable")
+        # hash_log <= 30: uint32 keys take numpy's radix path (uint64 does
+        # twice the passes) — ~2x faster stable argsort
+        order = np.argsort(h.astype(np.uint32), kind="stable")
         same = h[order[1:]] == h[order[:-1]]
         win = same
         for d in range(1, depth + 1):

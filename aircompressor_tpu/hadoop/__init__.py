@@ -215,7 +215,7 @@ class LzopHadoopStreams(HadoopStreams):
     def create_input_stream(self, source):
         from ..lzo.lzop import LzopInputStream
 
-        return _wrap_hadoop_input(LzopInputStream(source))
+        return _wrap_hadoop_input(LzopInputStream, source)
 
     def create_output_stream(self, sink):
         from ..lzo.lzop import LzopOutputStream
@@ -232,7 +232,7 @@ class ZstdHadoopStreams(HadoopStreams):
     def create_input_stream(self, source):
         from ..zstd.streams import ZstdInputStream
 
-        return _wrap_hadoop_input(ZstdInputStream(source))
+        return _wrap_hadoop_input(ZstdInputStream, source)
 
     def create_output_stream(self, sink):
         from ..zstd.streams import ZstdOutputStream
@@ -247,7 +247,7 @@ class BZip2HadoopStreams(HadoopStreams):
     def create_input_stream(self, source):
         from ..bzip2 import BZip2InputStream
 
-        return _wrap_hadoop_input(BZip2InputStream(source))
+        return _wrap_hadoop_input(BZip2InputStream, source)
 
     def create_output_stream(self, sink):
         from ..bzip2 import BZip2OutputStream
@@ -262,7 +262,7 @@ class JdkGzipHadoopStreams(HadoopStreams):
     def create_input_stream(self, source):
         from ..gzip import GzipInputStream
 
-        return _wrap_hadoop_input(GzipInputStream(source))
+        return _wrap_hadoop_input(GzipInputStream, source)
 
     def create_output_stream(self, sink):
         from ..gzip import GzipOutputStream
@@ -354,14 +354,23 @@ class _ZlibHadoopInputStream(HadoopInputStream):
 
 
 # ------------------------------------------------------------------ adapters
-def _wrap_hadoop_input(stream) -> HadoopInputStream:
+def _wrap_hadoop_input(make_stream, source) -> HadoopInputStream:
+    """Adapt a file-like reader factory to the Hadoop contract.
+
+    reset_state() REBUILDS the reader from the (possibly re-seeked)
+    source: Hadoop calls it after seeking to a new split boundary, so
+    both the decoder state AND any raw bytes the old reader buffered
+    ahead must be discarded (reference: HadoopInputStream.resetState)."""
+
     class _In(HadoopInputStream):
+        def __init__(self):
+            self._s = make_stream(source)
+
         def read(self, n: int = -1):
-            return stream.read(n)
+            return self._s.read(n)
 
         def reset_state(self):
-            if hasattr(stream, "reset_state"):
-                stream.reset_state()
+            self._s = make_stream(source)
 
     return _In()
 

@@ -136,3 +136,24 @@ class TestSnappyBlockNative(TestSnappyBlock):
         from aircompressor_tpu.snappy import SnappyNativeDecompressor
 
         return SnappyNativeDecompressor()
+
+
+def test_framed_wire_bytes_masked_crc():
+    """Exact wire bytes for a known chunk, including the masked CRC32C
+    value 0x9274cda8 (reference: TestSnappyStream.java:50-79 asserts this
+    constant for the same payload)."""
+    import struct
+
+    from aircompressor_tpu.crc.crc32c import masked_crc32c
+    from aircompressor_tpu.snappy.framed import compress_framed
+
+    payload = b"aaaaaaaaaaaabbbbbbbaaaaaa"
+    blob = bytes(compress_framed(payload))
+    assert blob[:10] == b"\xff\x06\x00\x00sNaPpY"
+    assert masked_crc32c(payload) == 0x9274CDA8
+    # the chunk after the header carries the masked CRC of the UNCOMPRESSED
+    # data in its first 4 payload bytes
+    flag = blob[10]
+    assert flag in (0x00, 0x01)
+    crc = struct.unpack("<I", blob[14:18])[0]
+    assert crc == 0x9274CDA8

@@ -73,8 +73,12 @@ def _usage(plan: dp.BatchPlan) -> tuple:
     )
 
 
-_LIMITS = (SRC_ROWS * LANES - 8, LIT_ROWS * LANES, SEQ_ROWS * LANES,
-           GH * HUFF_SUB, GS * SEQ_SUB, DESC_ROWS, F_PER_LAUNCH)
+# src capped one ROW below the buffer and descriptors one SLOT below:
+# the kernels fetch (row, row+1) pairs via single 2-row slices clamped to
+# cap-2, which would silently mis-address a source living in the very
+# last row — keep that row unreachable instead
+_LIMITS = ((SRC_ROWS - 1) * LANES - 8, LIT_ROWS * LANES, SEQ_ROWS * LANES,
+           GH * HUFF_SUB, GS * SEQ_SUB, DESC_ROWS - 1, F_PER_LAUNCH)
 
 
 def _fits(usage: tuple) -> bool:

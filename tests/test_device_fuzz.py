@@ -93,3 +93,72 @@ def test_device_decode_mutation_fuzz(codec):
         # call must never corrupt unrelated state (decode the good blob
         # again to prove it)
         assert c.decompress_chunks([bytes(blob)])[0] == raw
+
+
+@pytest.mark.parametrize("codec", ["lz4", "snappy", "lzo", "lz4frame",
+                                   "snappyframed", "zstd", "zstd_inc"])
+def test_host_decoder_exception_contract(codec):
+    """Mutation fuzz of the HOST decoders: every corruption outcome must be
+    success or MalformedInputException — never an unwrapped internal error
+    (the reference's bounds-check discipline, MalformedInputException with
+    offsets)."""
+    data = open("/root/reference/testdata/urls.10K", "rb").read()[:30_000]
+    if codec == "lz4":
+        from aircompressor_tpu.lz4 import Lz4RefCompressor, Lz4RefDecompressor
+
+        blob = bytes(Lz4RefCompressor().compress(data))
+        dec = lambda b: Lz4RefDecompressor().decompress(b, len(data))  # noqa: E731
+    elif codec == "snappy":
+        from aircompressor_tpu.snappy import SnappyRefCompressor, SnappyRefDecompressor
+
+        blob = bytes(SnappyRefCompressor().compress(data))
+        dec = lambda b: SnappyRefDecompressor().decompress(b, len(data))  # noqa: E731
+    elif codec == "lzo":
+        from aircompressor_tpu.lzo import LzoCompressor, LzoDecompressor
+
+        blob = bytes(LzoCompressor().compress(data))
+        dec = lambda b: LzoDecompressor().decompress(b, len(data))  # noqa: E731
+    elif codec == "lz4frame":
+        from aircompressor_tpu.lz4 import Lz4RefCompressor, Lz4RefDecompressor
+        from aircompressor_tpu.lz4.frame_codec import (
+            Lz4FrameCompressor,
+            Lz4FrameDecompressor,
+        )
+
+        blob = bytes(Lz4FrameCompressor(Lz4RefCompressor()).compress(data))
+        dec = lambda b: Lz4FrameDecompressor(  # noqa: E731
+            Lz4RefDecompressor()).decompress(b, len(data))
+    elif codec == "snappyframed":
+        from aircompressor_tpu.snappy.framed import compress_framed, decompress_framed
+
+        blob = bytes(compress_framed(data))
+        dec = decompress_framed
+    elif codec == "zstd":
+        from aircompressor_tpu.zstd import frame_dec, frame_enc
+
+        blob = frame_enc.compress_bytes(data)
+
+        def dec(b):
+            dst = np.zeros(len(data) + 64, np.uint8)
+            frame_dec.decompress(np.frombuffer(b, np.uint8), dst)
+    else:
+        from aircompressor_tpu.zstd import frame_enc
+        from aircompressor_tpu.zstd.streams import ZstdIncrementalFrameDecompressor
+
+        blob = frame_enc.compress_bytes(data)
+
+        def dec(b):
+            d = ZstdIncrementalFrameDecompressor()
+            d.partial_decompress(b[: len(b) // 2])
+            d.partial_decompress(b[len(b) // 2 :])
+
+    rng = np.random.default_rng(len(codec))
+    for _ in range(60):
+        b = bytearray(blob)
+        for _ in range(int(rng.integers(1, 4))):
+            i = int(rng.integers(0, len(b)))
+            b[i] ^= int(rng.integers(1, 256))
+        try:
+            dec(bytes(b))
+        except MalformedInputException:
+            pass

@@ -277,7 +277,7 @@ class Lz4BatchCodec:
 
 class LzoBatchCodec:
     """Chunk-parallel LZO1X decode on the device (single-launch Pallas
-    megakernel, ops/lzo_pallas). Compression uses the host tier per chunk —
+    megakernel, ops/lzo_pallas_w). Compression uses the host tier per chunk —
     the reference has no native LZO either (its LZO is Java-only), so the
     encode side is host-tier by the same parity argument."""
 
@@ -339,9 +339,9 @@ class ZstdBatchCodec:
     walk + backward bit packing) run as one batched device program per
     launch (ops/zstd_encode_jax), bit-identical to the host tier; match
     finding and table builds stay host-side (VERDICT r2 #6, entropy-first).
-    On TPU the device encode tier is gated by a one-time self-check and
-    degrades to the host tier (reference contract,
-    internal/NativeLoader.java:104-112)."""
+    The encode tier is an XLA program and runs on every backend; it is
+    gated by a one-time per-level self-check and degrades to the host tier
+    (reference contract, internal/NativeLoader.java:104-112)."""
 
     def __init__(self, max_chunk: int | None = None, level: int = 3):
         from . import zstd_jax
@@ -353,7 +353,8 @@ class ZstdBatchCodec:
         self.level = level
 
     def _encode_self_check(self) -> bool:
-        ok = _KERNEL_OK.get("zstd_encode")
+        key = f"zstd_encode:{self.level}"
+        ok = _KERNEL_OK.get(key)
         if ok is None:
             try:
                 from ..zstd import frame_dec
@@ -370,7 +371,7 @@ class ZstdBatchCodec:
                 ok = dst[:n].tobytes() == payload
             except Exception:  # noqa: BLE001
                 ok = False
-            _KERNEL_OK["zstd_encode"] = ok
+            _KERNEL_OK[key] = ok
         return ok
 
     def compress_chunks(self, chunks: Sequence[bytes]) -> list[bytes]:

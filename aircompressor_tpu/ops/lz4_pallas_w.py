@@ -16,7 +16,7 @@ sequences drive a literal run AND a match run with unbounded
               the final literals-only sequence)
   3 MLEXT     consume <=4 match-length extension bytes per step
 
-Layout contract matches lz4_pallas.decode (same wrapper signature).
+Layout contract matches the r2 kernel's decode (same wrapper signature).
 """
 
 from __future__ import annotations
@@ -333,7 +333,7 @@ def _decode_impl(comp, comp_lens, interpret: bool):
 
 def decode(comp, comp_lens, out_cap: int = MAX_OUT, with_steps: bool = False):
     """Decode B lz4 blocks (<=64KB decompressed each), unified-buffer
-    group-interleaved, ONE kernel launch. Same contract as lz4_pallas.decode.
+    group-interleaved, ONE kernel launch.
 
     NOTE: lz4 blocks carry no declared length; callers bound via out_cap.
     """

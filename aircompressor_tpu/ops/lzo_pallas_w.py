@@ -8,7 +8,7 @@ tier this kernel is differentially tested against).
 Same architecture as ops/snappy_pallas_w.py (unified [input|output] VMEM
 address space per chunk, G independent interleaved chunk groups for VPU
 ILP, termination checks amortized over M iterations, scratch-column
-scalar extracts) over LZO's phase machine (see ops/lzo_pallas.py):
+scalar extracts) over LZO's phase machine (r2 baseline: scratch/lzo_pallas_r2.py):
 
   0 TOKEN   dispatch on (t, state); zero-extended lengths enter LENEXT
   1 LENEXT  consume <=4 zero-extension bytes per step
@@ -16,7 +16,7 @@ scalar extracts) over LZO's phase machine (see ops/lzo_pallas.py):
   3 TRAIL   launch the 0..3 trailing literals after every copy
   4 DONE    terminal — entered by the M4 stop command
 
-Layout contract matches lzo_pallas.decode (same wrapper signature).
+Layout contract matches the r2 kernel's decode (same wrapper signature).
 """
 
 from __future__ import annotations
@@ -404,7 +404,7 @@ def _decode_impl(comp, comp_lens, interpret: bool):
 
 def decode(comp, comp_lens, out_cap: int = MAX_OUT, with_steps: bool = False):
     """Decode B LZO1X blocks (<=64KB decompressed each), unified-buffer
-    group-interleaved, ONE kernel launch. Same contract as lzo_pallas.decode."""
+    group-interleaved, ONE kernel launch."""
     assert out_cap <= MAX_OUT
     B, Lc = comp.shape
     pad_b = (-B) % SUB

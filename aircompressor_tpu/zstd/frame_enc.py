@@ -118,8 +118,17 @@ def _literals_section(literals: np.ndarray, ctx: EncoderContext | None = None):
         return raw, prev_ct
     ct = huff_enc.build_ctable(counts)
     est_bits = huff_enc.estimate_compressed_bits(counts, ct)
-    # quick reject: must beat raw with some margin
-    if est_bits // 8 + 16 >= n:
+    # treeless reuse is viable only when the previous table codes every
+    # present symbol (reference: HuffmanCompressionTable.isValid)
+    prev_covers = prev_ct is not None and bool(
+        np.all(prev_ct.nbits[np.nonzero(counts)[0]] > 0))
+    # quick reject: must beat raw with some margin — but literals that
+    # compress poorly under a FRESH table may still win treeless under the
+    # previous block's table (reference: estimateCompressedSize-based reuse
+    # check), so the treeless estimate gets its own (table-free) margin
+    if est_bits // 8 + 16 >= n and not (
+            prev_covers and huff_enc.estimate_compressed_bits(
+                counts, prev_ct) // 8 + 5 < n):
         return raw, prev_ct
     single = n < 256
     best = (len(raw), raw, prev_ct)
@@ -142,10 +151,8 @@ def _literals_section(literals: np.ndarray, ctx: EncoderContext | None = None):
 
     consider(C.COMPRESSED_LITERALS, huff_enc.write_table(ct), ct, ct)
     # treeless reuse of the previous table (reference: treeless literals +
-    # HuffmanCompressionTable.estimateCompressedSize gain check) — valid
-    # only when the previous table covers every present symbol
-    if prev_ct is not None and bool(
-            np.all(prev_ct.nbits[np.nonzero(counts)[0]] > 0)):
+    # HuffmanCompressionTable.estimateCompressedSize gain check)
+    if prev_covers:
         consider(C.TREELESS_LITERALS, b"", prev_ct, prev_ct)
     return best[1], best[2]
 

@@ -7,9 +7,10 @@
   bounded sliding window that flushes bytes past the match lookback).
 - ``ZstdInputStream`` — file-like reader over it (parity:
   zstd/ZstdInputStream.java:63-130 fill loop).
-- ``ZstdOutputStream`` — streaming writer emitting one checksummed frame per
-  buffered chunk (legal multi-frame stream; every decoder accepts frame
-  concatenation — reference: ZstdFrameDecompressor.java:150).
+- ``ZstdOutputStream`` — TRUE streaming writer: ONE frame per stream with
+  unknown content size; the match window, repcodes, entropy-table context
+  and xxhash64 checksum are carried across ``write()`` calls (reference:
+  zstd/ZstdOutputStream.java:154-221 + BlockCompressionState.slideWindow).
 """
 
 from __future__ import annotations
@@ -331,7 +332,8 @@ class ZstdOutputStream(io.RawIOBase):
     def _compress_block(self, block: bytes, last: int) -> None:
         if not self._wrote_header:
             self._write_header()
-        arr = np.frombuffer(self._hist + block, dtype=np.uint8)
+        joined = self._hist + block
+        arr = np.frombuffer(joined, dtype=np.uint8)
         start = len(self._hist)
         ll, offsets, ml, literals = block_enc.find_sequences(
             arr, self._params, start=start)
@@ -342,7 +344,7 @@ class ZstdOutputStream(io.RawIOBase):
             last, blk, ll, offsets + 3, ml, literals, self._rep,
             self._ectx))
         self._hash.update(block)
-        self._hist = (self._hist + block)[-self._ctx:] if self._ctx else b""
+        self._hist = joined[-self._ctx:] if self._ctx else b""
 
     def write(self, data) -> int:
         if self._finished:

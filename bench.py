@@ -398,6 +398,34 @@ def host_baselines(data: bytes, detail: dict) -> None:
 
         detail["lz4_decode_liblz4_GBps"] = n / best_of(run) / 1e9
 
+    lzo = None
+    lzo_path = "/root/reference/src/test/resources/nativelib/Linux-amd64/liblzo2.so"
+    if os.path.exists(lzo_path):
+        try:
+            lzo = ctypes.CDLL(lzo_path, mode=os.RTLD_LAZY)
+        except OSError:
+            lzo = None
+    if lzo:
+        # liblzo2 = the upstream library the reference ships for its
+        # Hadoop-compat tests (HadoopNative.java:33-54); baseline row for
+        # the lzo_decode_device_GBps vs_baseline comparison
+        lzo.lzo1x_1_compress.restype = ctypes.c_int
+        lzo.lzo1x_decompress_safe.restype = ctypes.c_int
+        cap = n + n // 16 + 67
+        out = ctypes.create_string_buffer(cap)
+        on = ctypes.c_size_t(cap)
+        wrk = ctypes.create_string_buffer(16384 * 8)
+        assert lzo.lzo1x_1_compress(
+            data, n, out, ctypes.byref(on), wrk) == 0
+        comp = out.raw[: on.value]
+        dec = ctypes.create_string_buffer(n)
+
+        def run():
+            dn = ctypes.c_size_t(n)
+            lzo.lzo1x_decompress_safe(comp, len(comp), dec, ctypes.byref(dn), None)
+
+        detail["lzo_decode_liblzo2_GBps"] = n / best_of(run) / 1e9
+
     zstd = lib("libzstd.so")
     if zstd:
         zstd.ZSTD_compress.restype = ctypes.c_size_t
@@ -526,6 +554,15 @@ def main() -> None:
         detail["device_error"] = str(e)[:500]
     host_baselines(data, detail)
     mesh_scaling(detail)
+    # explicit device-vs-host-baseline ratios wherever both rows exist
+    for codec, base_row in (("snappy", "snappy_decode_libsnappy_GBps"),
+                            ("lz4", "lz4_decode_liblz4_GBps"),
+                            ("lzo", "lzo_decode_liblzo2_GBps"),
+                            ("zstd", "zstd_decode_libzstd_GBps")):
+        ours = detail.get(f"{codec}_decode_device_GBps")
+        base = detail.get(base_row)
+        if ours and base:
+            detail[f"{codec}_decode_device_vs_baseline"] = round(ours / base, 4)
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(detail, f, indent=2)
     # Headline: device snappy decode (single-launch megakernel, output in

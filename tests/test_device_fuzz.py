@@ -79,20 +79,27 @@ def test_device_decode_mutation_fuzz(codec):
     raw = _structured_inputs(seed=5, n=1, max_len=30000)[0]
     blob = bytearray(c.compress_chunks([raw])[0])
     rng = np.random.default_rng(9)
+    flagged = 0
     for _ in range(12):
         i = int(rng.integers(0, len(blob)))
         mut = bytes(blob[:i]) + bytes([blob[i] ^ 0x5A]) + bytes(blob[i + 1:])
         try:
             out = c.decompress_chunks([mut])[0]
         except MalformedInputException:
+            flagged += 1
             continue  # flagged: good
         except Exception as e:  # noqa: BLE001
             pytest.fail(f"non-contract exception for mutant @{i}: {e!r}")
-        # decoded without error: content must reflect the corruption OR the
-        # mutation hit a byte the format ignores — accept both, but the
-        # call must never corrupt unrelated state (decode the good blob
-        # again to prove it)
+        # decoded without error: the output must REFLECT the corruption —
+        # a mutant that decodes cleanly to bytes equal to the original
+        # would be a silent equal-looking success (every mutated position
+        # here is inside decoded payload or a header/checksum the decoder
+        # must check; none is format-ignored)
+        assert out != raw, f"mutant @{i} decoded silently equal to original"
+        # and the call must never corrupt unrelated state (decode the good
+        # blob again to prove it)
         assert c.decompress_chunks([bytes(blob)])[0] == raw
+    assert flagged > 0  # at least some corruptions must be detected
 
 
 @pytest.mark.parametrize("codec", ["lz4", "snappy", "lzo", "lz4frame",

@@ -1,4 +1,4 @@
-"""LZO device decode tier tests (ops/lzo_pallas + ops/batch.LzoBatchCodec).
+"""LZO device decode tier tests (ops/lzo_pallas_w + ops/batch.LzoBatchCodec).
 
 Off-TPU the megakernel runs in Pallas interpret mode (Python-speed), so the
 kernel test uses small chunks; the batch codec off-TPU uses the host tier.
@@ -13,7 +13,6 @@ jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
 from aircompressor_tpu.lzo import LzoCompressor  # noqa: E402
-from aircompressor_tpu.ops import lzo_pallas  # noqa: E402
 from aircompressor_tpu.ops import lzo_pallas_w  # noqa: E402
 from aircompressor_tpu.ops.batch import LzoBatchCodec  # noqa: E402
 
@@ -45,7 +44,7 @@ def test_kernel_bit_exact_vs_ref():
     for i, b in enumerate(blobs):
         buf[i, : len(b)] = np.frombuffer(b, np.uint8)
         lens[i] = len(b)
-    for mod in (lzo_pallas, lzo_pallas_w):
+    for mod in (lzo_pallas_w,):
         out, olens, ok = mod.decode(jnp.asarray(buf), jnp.asarray(lens))
         out, olens, ok = np.asarray(out), np.asarray(olens), np.asarray(ok)
         for i, r in enumerate(raws):
@@ -67,7 +66,7 @@ def test_kernel_rejects_malformed():
     for i, b in enumerate(bad_blobs):
         buf[i, : len(b)] = np.frombuffer(b, np.uint8)
         lens[i] = len(b)
-    for mod in (lzo_pallas, lzo_pallas_w):
+    for mod in (lzo_pallas_w,):
         _, _, ok = mod.decode(jnp.asarray(buf), jnp.asarray(lens))
         assert not np.asarray(ok).any(), mod.__name__
 

@@ -70,7 +70,7 @@ def test_snappy_pallas_megakernel():
 
     Reference parity: snappy/SnappyRawDecompressor.java:30-220 (the whole
     batch decodes in ONE pallas_call vs the reference's one JNI call)."""
-    from aircompressor_tpu.ops import snappy_pallas
+    from aircompressor_tpu.ops import snappy_pallas8 as snappy_pallas
     from aircompressor_tpu.snappy import SnappyRefCompressor
 
     rng = np.random.default_rng(3)

@@ -1,4 +1,5 @@
-"""Pallas megakernel decode tests (snappy_pallas8 / lz4_pallas) — run in
+"""Pallas megakernel decode tests (production _w kernels + the retained
+snappy_pallas8 ablation baseline) — run in
 interpret mode off-TPU, compiled on the real chip. Differential vs the own
 ref tiers on corpus chunks + malformed flagging."""
 
@@ -79,14 +80,6 @@ def test_snappy_w_megakernel_flags_truncated():
     assert not np.asarray(ok).any()
 
 
-def test_lz4_megakernel_bit_exact():
-    from aircompressor_tpu.lz4 import Lz4Compressor
-    from aircompressor_tpu.ops import lz4_pallas
-
-    raws = _chunks()
-    comp = Lz4Compressor.create()
-    _check(lz4_pallas.decode, [comp.compress(r) for r in raws], raws)
-
 
 def test_lz4_w_megakernel_bit_exact():
     from aircompressor_tpu.lz4 import Lz4Compressor
@@ -118,26 +111,6 @@ def test_lz4_w_megakernel_flags_malformed():
         assert (not ok[i]) or out[i, : olens[i]].tobytes() != data
 
 
-def test_lz4_megakernel_flags_malformed():
-    from aircompressor_tpu.lz4 import Lz4Compressor
-    from aircompressor_tpu.ops import lz4_pallas
-
-    data = open(f"{TESTDATA}/urls.10K", "rb").read()[:30000]
-    blob = Lz4Compressor.create().compress(data)
-    cases = [
-        blob[: len(blob) // 2],          # truncated mid-stream
-        b"\xf0" + blob[1:],              # literal run overruns input
-        blob[:1] + b"\x00\x00" + blob[3:],  # likely offset-0 / garbage
-    ]
-    buf, lens = _pack(cases)
-    out, olens, ok = lz4_pallas.decode(buf, lens)
-    ok = np.asarray(ok)
-    out = np.asarray(out)
-    olens = np.asarray(olens)
-    # each case must either be flagged or fail to reproduce the original
-    for i in range(len(cases)):
-        assert (not ok[i]) or out[i, : olens[i]].tobytes() != data
-
 
 def test_snappy_megakernel_flags_truncated():
     from aircompressor_tpu.ops import snappy_pallas8
@@ -150,26 +123,11 @@ def test_snappy_megakernel_flags_truncated():
     assert not np.asarray(ok)[0]
 
 
-def test_lz4_megakernel_flags_oversized_literal_run():
-    """A literal run longer than MAX_OUT scheduled at op==0 must be flagged
-    (regression: clip used to cap the addend so 0 + MAX_OUT never exceeded
-    the bound, letting the run silently truncate and the unconditional tile
-    store walk into the next chunk's output block)."""
-    from aircompressor_tpu.ops import lz4_pallas
-
-    # token 0xF0 (lit len 15 + ext), 263 x 0xFF + 120 -> 15+255*263+120 = 67200
-    run = 67200
-    k, term = divmod(run - 15, 255)
-    blob = b"\xf0" + b"\xff" * k + bytes([term]) + b"A" * run
-    buf, lens = _pack([blob])
-    _, olens, ok = lz4_pallas.decode(buf, lens)
-    assert not np.asarray(ok)[0]
-
 
 def test_lzo_megakernel_flags_oversized_literal_run():
     """Same oversized-run bound for the LZO kernel (standalone literal run
     zero-extended past MAX_OUT)."""
-    from aircompressor_tpu.ops import lzo_pallas
+    from aircompressor_tpu.ops import lzo_pallas_w
 
     # token 0x00 enters LENEXT with base acc 18; 263 zero bytes + term 117
     # -> run of 18 + 255*263 + 117 = 67200, then the literal bytes + stop
@@ -178,5 +136,5 @@ def test_lzo_megakernel_flags_oversized_literal_run():
     blob = (b"\x00" + b"\x00" * k + bytes([term]) + b"A" * run
             + b"\x11\x00\x00")  # M4 stop command
     buf, lens = _pack([blob])
-    _, olens, ok = lzo_pallas.decode(buf, lens)
+    _, olens, ok = lzo_pallas_w.decode(buf, lens)
     assert not np.asarray(ok)[0]

@@ -1,27 +1,41 @@
 """Snappy block decode — unified-buffer, group-interleaved Pallas megakernel.
 
 Format parity: reference snappy/SnappyRawDecompressor.java:30-220 (varint
-length, tag dispatch, strict validation). Successor to the r2 single-token kernel (snappy_pallas8).
-Two measured facts drive the design (amortized timing; the device tunnel
-costs ~25ms per program round-trip and inflated every small single-call
-measurement):
+length, tag dispatch, strict validation). Successor to the r2 single-token
+kernel (snappy_pallas8); round 4 reworked the emission engine from the
+live-regime ablation (per body of 64 group-steps: flush stores ~2.1us,
+emission vector chain ~0.5us, source loads ~0.7us — the kernel is
+store/VPU-issue bound, NOT scalar-load bound as r3 assumed):
 
-1. The per-token work is SCALAR-UNIT-bound on far row loads. Fix: ONE
-   address space — each chunk's VMEM block holds [input rows | output
-   rows], staged once per grid step, so a token's source (literal bytes
-   from the input region or match bytes from the output history) is ONE
-   (2,128) dynamic slice instead of four loads + selects.
-2. The vector parse/emit chain is LATENCY-bound: a microbench shows 8
-   independent op streams cost the same as 1 (the VPU issues multiple
-   vregs/cycle; a single dependency chain runs at ~6ns/op). Fix: split
-   the SUB chunks into G independent GROUPS and interleave their token
-   steps, giving the scheduler G dependency chains to overlap.
+1. ONE unified [input | output] VMEM address space per chunk: a token's
+   source (literal bytes from the input region, match bytes from the
+   output history) is a single (2,128) dynamic slice.
+2. G independent interleaved chunk groups give the scheduler G dependency
+   chains to overlap (the VPU absorbs ~8 streams for free).
+3. TWO-register output window with crossing CONTINUATION (r4): tileA is
+   the current 128B output row, tileB the completed row before it. A row
+   crossing rolls the window (B<-A, A<-0) and stepping continues; in the
+   body's second row, emission stops one byte short of the row end so a
+   second crossing (which would evict tileB before the flush stored it)
+   cannot happen. Kills the r3 kernel's crossing-idle (it closed the
+   chunk for the body's remaining steps).
+4. ONE absolute source pointer per chunk (r4): literals point into the
+   input region, copies into output history; take caps at
+   avail = OUTBASE + op - srcptr (provably >= rem for literals since
+   src + rem <= clen <= OUTBASE). Overlap (RLE) acceleration: a full-gap
+   take leaves srcptr in place, doubling the gap — the register-window
+   equivalent of the reference's DEC_32/DEC_64 wild-copy trick.
+5. Flush = ONE (1,128) store per chunk per body: tileB at row
+   (op>>7)-1. Memory only ever serves rows <= op>>7 - 2 (the register
+   pair covers the top two), so a completed row's final content is
+   always stored before memory can read it.
 
-Per token step each chunk costs the scalar unit 1 extract + 1 clip +
-1 two-row slice; the 128-byte register window (`tile`) serves
-self-overlapping lanes (rows below the window are final in memory
-because every iteration stores its tile). Iterations fill one window
-per chunk via K unrolled token steps (window-fill).
+Known negative result (r4, documented for future rounds): flushing every
+SECOND body with a 3-register window is algorithmically sound (verified in
+interpret mode) but miscompiles on current Mosaic — copies near the
+register/memory boundary read stale/zero data, deterministically, only on
+device and only with the 2-body cadence (scratch/snappy_w4*.py keeps the
+repro family). The same single-store-per-body cadence below is stable.
 
 Layout contract matches snappy_pallas8.decode (same wrapper signature).
 """
@@ -41,7 +55,8 @@ LANES = 128
 SUBG = 8  # chunks per group (sublanes of one vreg)
 G = 8  # interleaved independent groups
 SUB = SUBG * G  # chunks per grid step
-K = 8  # token steps per iteration (best measured vs 4/6/12/18)
+K = 8  # token steps per iteration (best measured vs 12/16/24)
+M = 16  # bodies between termination checks
 OUT_ROWS = 512  # 64KB output per chunk
 PAD_ROWS = 8
 OUT_ROWSP = OUT_ROWS + PAD_ROWS
@@ -98,23 +113,20 @@ def _decode_kernel(lens_ref, in_ref, uni_ref, meta_ref, *scr_refs):
         err0_g.append(((declared_g[gi] > MAX_OUT) | (vlen_g[gi] > clen_g[gi])
                        | (clen_g[gi] > Rc * LANES)).astype(I32))
 
-    # per-group carry: ip, op, rem, src, from_inp, dist, err, tile
+    # per-group carry: ip, op, rem, srcptr, err, tileA, tileB
     def cond(c):
         steps = c[0]
-        live = jnp.int32(0)
+        live = None
         for gi in range(G):
-            ip, op, rem, err = c[1][gi][0], c[1][gi][1], c[1][gi][2], c[1][gi][6]
-            more = (rem[:, 0:1] > 0) | (ip[:, 0:1] < clen_g[gi][:, 0:1])
-            live = live + jnp.max(((err[:, 0:1] == 0) & more).astype(I32))
-        return (live > 0) & (steps < 2 * MAX_OUT)
+            ip, rem, err = c[1][gi][0], c[1][gi][2], c[1][gi][4]
+            lg = (err == 0) & ((rem > 0) | (ip < clen_g[gi]))
+            live = lg if live is None else (live | lg)
+        # one fused reduction for the whole grid step
+        return (jnp.max(live.astype(I32)) > 0) & (steps < 2 * MAX_OUT)
 
     def hdr_load(gi, hrow):
         # one vector store + SUBG scalar loads instead of SUBG
         # vector->scalar extracts (each extract is a pipeline sync).
-        # 2-row header pair: a token whose 5 header bytes cross the pair
-        # stalls; the next iteration's reload realigns, so every token
-        # eventually parses (a single-row header would stall forever on a
-        # row-crossing token).
         scr_refs[gi][...] = hrow
         hp = []
         for r in range(SUBG):
@@ -127,8 +139,8 @@ def _decode_kernel(lens_ref, in_ref, uni_ref, meta_ref, *scr_refs):
 
     def token_step(gi, st, env):
         """One token parse+emit for group gi. st/env are per-group."""
-        ip, op, rem, src, from_inp, dist, err, tile = st
-        Ha, Hb, hbase, wrow, open_ = env
+        ip, op, rem, srcptr, err, tileA, tileB = st
+        Ha, Hb, hbase, wrow0, open_ = env
         clen, declared = clen_g[gi], declared_g[gi]
 
         err_b = err > 0
@@ -188,26 +200,32 @@ def _decode_kernel(lens_ref, in_ref, uni_ref, meta_ref, *scr_refs):
         )
 
         rem = jnp.where(parse, p_rem, rem)
-        src = jnp.where(parse, ip + tok_size, src)
-        dist = jnp.where(
-            parse, jnp.where(is_lit_tok, jnp.int32(MAX_OUT), cp_dist), dist)
-        from_inp = jnp.where(parse, is_lit_tok.astype(I32), from_inp)
+        srcptr = jnp.where(
+            parse,
+            jnp.where(is_lit_tok, ip + tok_size, OUTBASE + op - cp_dist),
+            srcptr)
         ip = jnp.where(
             parse, ip + tok_size + jnp.where(is_lit_tok, ext, 0), ip)
         err = err | (parse & p_err).astype(I32)
         open_ = open_ & ~stall & ~(err > 0)
 
-        # ---- emit this step's run slice into the tile
+        # ---- emit this step's run slice into the register window
         o = op & 127
+        cwrow = op >> 7
         emit = open_ & (rem > 0) & active
-        is_copy = emit & (from_inp == 0)
+        is_copy = emit & (srcptr >= OUTBASE)
         take = jnp.minimum(rem, 128 - o)
-        take = jnp.where(is_copy, jnp.minimum(take, dist), take)
+        # in the body's SECOND row, stop one byte short of the row end: a
+        # second crossing would evict tileB (a completed row) before the
+        # flush could store it
+        second = cwrow > wrow0
+        take = jnp.where(second, jnp.minimum(take, 127 - o), take)
+        # copies may not read at/after op; literals have avail >= rem
+        avail = OUTBASE + op - srcptr
+        take = jnp.minimum(take, avail)
         take = jnp.where(emit, take, 0)
 
-        # unified source position: literal bytes from the input region,
-        # match bytes from the output history region
-        q = jnp.where(is_copy, OUTBASE + op - dist, src)
+        q = srcptr
         qr = q >> 7
 
         scr_refs[gi][...] = qr
@@ -223,38 +241,45 @@ def _decode_kernel(lens_ref, in_ref, uni_ref, meta_ref, *scr_refs):
 
         spos = q + lane - o  # absolute unified source byte per lane
         v_far = gather2(La, Lb, (spos - (qr << 7)) & 255)
-        # lanes whose source falls inside the in-flight register window
+        # register-window sources: rows cwrow (tileA) and cwrow-1 (tileB)
         is_copy_b = jnp.broadcast_to(is_copy[:, 0:1], (SUBG, LANES))
-        in_tile = is_copy_b & (spos >= OUTBASE + (wrow << 7))
-        v_tile = jnp.take_along_axis(tile, spos & 127, axis=1)
-        value = jnp.where(in_tile, v_tile, v_far)
+        rowA_start = OUTBASE + (cwrow << 7)
+        in_A = is_copy_b & (spos >= rowA_start)
+        in_B = is_copy_b & (spos >= rowA_start - 128) & ~in_A
+        m127 = spos & 127
+        v_tA = jnp.take_along_axis(tileA, m127, axis=1)
+        v_tB = jnp.take_along_axis(tileB, m127, axis=1)
+        value = jnp.where(in_A, v_tA, jnp.where(in_B, v_tB, v_far))
 
         mask = (lane >= o) & (lane < o + take)
-        tile = jnp.where(mask, value, tile)
+        tileA = jnp.where(mask, value, tileA)
         op = op + take
         rem = rem - take
-        src = src + take
-        # overlap-run growth (RLE): after a full-dist take the copied
-        # region itself becomes valid source
-        dist = jnp.where(
-            is_copy & (take == dist) & (rem > 0),
-            jnp.minimum(dist * 2, MAX_OUT), dist)
+        # overlap (RLE) acceleration: a full-gap take leaves srcptr in
+        # place, doubling the gap (the copied bytes are now valid source)
+        srcptr = srcptr + jnp.where(take == avail, 0, take)
         crossed = ((op & 127) == 0) & (take > 0)
-        open_ = open_ & ~crossed
+        # continuation: roll the window on the (only possible) crossing
+        crossed_b = jnp.broadcast_to(crossed[:, 0:1], (SUBG, LANES))
+        tileB = jnp.where(crossed_b, tileA, tileB)
+        tileA = jnp.where(crossed_b, zero, tileA)
+        # second row filled to its cap (byte 127) with output pending:
+        # nothing more can emit this body
+        open_ = open_ & ~(second & ((op & 127) == 127) & (rem > 0))
 
-        return (ip, op, rem, src, from_inp, dist, err, tile), open_
+        return (ip, op, rem, srcptr, err, tileA, tileB), open_
 
     def body(c):
         steps, states = c
         envs = []
         for gi in range(G):
             ip, op = states[gi][0], states[gi][1]
-            wrow = op >> 7  # fixed for the whole iteration
+            wrow0 = op >> 7
             hrow = ip >> 7
             Ha, Hb = hdr_load(gi, hrow)
             hbase = jnp.maximum(jnp.minimum(hrow, Rc - 2), 0) << 7
             open_ = jnp.ones((SUBG, LANES), jnp.bool_)
-            envs.append([Ha, Hb, hbase, wrow, open_])
+            envs.append([Ha, Hb, hbase, wrow0, open_])
         sts = list(states)
         # interleave: step each group once, round-robin, K times — the G
         # chains are data-independent so the scheduler overlaps them
@@ -263,29 +288,22 @@ def _decode_kernel(lens_ref, in_ref, uni_ref, meta_ref, *scr_refs):
                 sts[gi], open_ = token_step(gi, sts[gi], envs[gi])
                 envs[gi][4] = open_
 
-        # ---- flush: store each group's tile at its window row
+        # ---- flush: tileB (the last COMPLETED row) at row op>>7 - 1
         out_states = []
         for gi in range(G):
-            ip, op, rem, src, from_inp, dist, err, tile = sts[gi]
-            wrow = envs[gi][3]
-            scr_refs[gi][...] = wrow
+            ip, op, rem, srcptr, err, tileA, tileB = sts[gi]
+            fr = (op >> 7) - 1
+            scr_refs[gi][...] = fr
             for r in range(SUBG):
                 c = gi * SUBG + r
-                row = Rc + jnp.minimum(scr_refs[gi][r, 0], OUT_ROWSP - 1)
-                uni_ref[pl.ds(c * RT + row, 1), :] = tile[r : r + 1, :]
-            crossed_it = (op >> 7) > wrow
-            tile = jnp.where(crossed_it, zero, tile)
-            out_states.append((ip, op, rem, src, from_inp, dist, err, tile))
+                row = Rc + jnp.clip(scr_refs[gi][r, 0], 0, OUT_ROWSP - 1)
+                uni_ref[pl.ds(c * RT + row, 1), :] = tileB[r: r + 1, :]
+            out_states.append((ip, op, rem, srcptr, err, tileA, tileB))
         return (steps + 1, tuple(out_states))
 
     init_states = tuple(
-        (vlen_g[gi], zero, zero, zero, zero, zero, err0_g[gi], zero)
+        (vlen_g[gi], zero, zero, zero, err0_g[gi], zero, zero)
         for gi in range(G))
-    # The cond's live-reduction is a vector->scalar sync that drains the
-    # whole VPU pipeline (~15x the marginal iteration cost, measured).
-    # Evaluate it only every M iterations; overrun iterations are
-    # branchless no-ops for finished chunks.
-    M = 16
 
     def outer_body(c):
         return jax.lax.fori_loop(0, M, lambda _, cc: body(cc), c)
@@ -293,8 +311,21 @@ def _decode_kernel(lens_ref, in_ref, uni_ref, meta_ref, *scr_refs):
     steps, states = jax.lax.while_loop(
         cond, outer_body, (jnp.int32(0), init_states))
 
+    # final flush: tileA holds the last (possibly partial) row, tileB the
+    # completed row before it. Ordered stores with per-row clips: when rows
+    # collide at 0 after clipping, the LAST (newest) store wins.
     for gi in range(G):
-        ip, op, rem, err = states[gi][0], states[gi][1], states[gi][2], states[gi][6]
+        ip, op, rem, err, tileA, tileB = (
+            states[gi][0], states[gi][1], states[gi][2], states[gi][4],
+            states[gi][5], states[gi][6])
+        fr = (op >> 7) - 1
+        scr_refs[gi][...] = fr
+        for r in range(SUBG):
+            c = gi * SUBG + r
+            row = Rc + jnp.clip(scr_refs[gi][r, 0], 0, OUT_ROWSP - 1)
+            uni_ref[pl.ds(c * RT + row, 1), :] = tileB[r: r + 1, :]
+            rowa = Rc + jnp.clip(scr_refs[gi][r, 0] + 1, 0, OUT_ROWSP - 1)
+            uni_ref[pl.ds(c * RT + rowa, 1), :] = tileA[r: r + 1, :]
         ok = (err == 0) & (op == declared_g[gi]) & (rem == 0)
         meta_ref[pl.ds(gi * SUBG, SUBG), :] = jnp.where(
             lane == 0, op,
@@ -347,8 +378,8 @@ def _decode_impl(comp, comp_lens, interpret: bool):
 
 def decode(comp, comp_lens, out_cap: int = MAX_OUT, with_steps: bool = False):
     """Decode B snappy blocks (<=64KB decompressed each), unified-buffer
-    group-interleaved window-fill, ONE kernel launch. Same contract as
-    snappy_pallas8.decode."""
+    group-interleaved two-register-window engine, ONE kernel launch. Same
+    contract as snappy_pallas8.decode."""
     assert out_cap <= MAX_OUT
     B, Lc = comp.shape
     pad_b = (-B) % SUB

@@ -3,12 +3,14 @@
 Format parity: reference lz4/Lz4RawDecompressor.java:35-198 (token = 4-bit
 literal length | 4-bit match length, 255-extension bytes, 2-byte LE offset,
 strict bounds, last-literals rule). Same architecture as
-ops/snappy_pallas_w.py (see its docstring for the three measured
-bottlenecks and fixes: unified [input|output] VMEM address space, G
-independent interleaved chunk groups for VPU ILP, and termination checks
-amortized over M iterations); the difference is the parse machine — LZ4
-sequences drive a literal run AND a match run with unbounded
-255-extension byte strings, so each chunk carries a PHASE:
+ops/snappy_pallas_w.py (see its docstring for the measured bottlenecks
+and the r4 emission engine: unified [input|output] VMEM address space, G
+interleaved chunk groups for VPU ILP, two-register output window with
+crossing continuation, one absolute source pointer with stay-in-place
+overlap acceleration, one flush store per chunk per body); the
+difference is the parse machine — LZ4 sequences drive a literal run AND
+a match run with unbounded 255-extension byte strings, so each chunk
+carries a PHASE:
 
   0 TOKEN     parse token byte; short literal runs launch immediately
   1 LITEXT    consume <=4 literal-length extension bytes per step
@@ -35,13 +37,13 @@ SUBG = 8  # chunks per group (sublanes of one vreg)
 G = 8  # interleaved independent groups
 SUB = SUBG * G
 K = 8  # parse/emit steps per iteration
+M = 16  # bodies between termination checks
 OUT_ROWS = 512  # 64KB output per chunk
 PAD_ROWS = 8
 OUT_ROWSP = OUT_ROWS + PAD_ROWS
 MAX_OUT = OUT_ROWS * LANES
 
 PH_TOKEN, PH_LITEXT, PH_MATCHHDR, PH_MLEXT = 0, 1, 2, 3
-FROM_COPY, FROM_LIT = 0, 1
 
 
 def _rep(x):
@@ -75,16 +77,16 @@ def _decode_kernel(lens_ref, in_ref, uni_ref, meta_ref, *scr_refs):
         clen_g.append(clen)
         err0_g.append(((clen <= 0) | (clen > Rc * LANES)).astype(I32))
 
-    # per-group carry: ip, op, rem, src, from_inp, dist, phase, acc,
-    #                  pend_ml, err, tile
+    # per-group carry: ip, op, rem, srcptr, phase, acc, pend_ml, err,
+    #                  tileA, tileB
     def cond(c):
         steps = c[0]
-        live = jnp.int32(0)
+        live = None
         for gi in range(G):
-            ip, op, rem, err = c[1][gi][0], c[1][gi][1], c[1][gi][2], c[1][gi][9]
-            more = (rem[:, 0:1] > 0) | (ip[:, 0:1] < clen_g[gi][:, 0:1])
-            live = live + jnp.max(((err[:, 0:1] == 0) & more).astype(I32))
-        return (live > 0) & (steps < 2 * MAX_OUT)
+            ip, rem, err = c[1][gi][0], c[1][gi][2], c[1][gi][7]
+            lg = (err == 0) & ((rem > 0) | (ip < clen_g[gi]))
+            live = lg if live is None else (live | lg)
+        return (jnp.max(live.astype(I32)) > 0) & (steps < 2 * MAX_OUT)
 
     def hdr_load(gi, hrow):
         scr_refs[gi][...] = hrow
@@ -98,9 +100,8 @@ def _decode_kernel(lens_ref, in_ref, uni_ref, meta_ref, *scr_refs):
         return Ha, Hb
 
     def token_step(gi, st, env):
-        (ip, op, rem, src, from_inp, dist, phase, acc, pend_ml, err,
-         tile) = st
-        Ha, Hb, hbase, wrow, open_ = env
+        (ip, op, rem, srcptr, phase, acc, pend_ml, err, tileA, tileB) = st
+        Ha, Hb, hbase, wrow0, open_ = env
         clen = clen_g[gi]
 
         active = (err == 0) & ((rem > 0) | (ip < clen)) & open_
@@ -167,12 +168,14 @@ def _decode_kernel(lens_ref, in_ref, uni_ref, meta_ref, *scr_refs):
             ph_tok, tk_ip,
             jnp.where(ph_lx | ph_mx, ex_ip, jnp.where(ph_mh, mh_ip, ip)))
         launches_lit = (ph_tok & tok_short) | lx_launch
-        launches_cpy = (ph_mh & (mh_rem > 0)) | mx_launch
-        src = jnp.where(launches_lit, new_ip, src)
+        # one absolute source pointer: literal runs point at their input
+        # bytes; a parsed match header points into output history (the
+        # match length may still be pending in MLEXT — op cannot move in
+        # between, so the pointer stays valid)
+        srcptr = jnp.where(
+            launches_lit, new_ip,
+            jnp.where(ph_mh, OUTBASE + op - offset, srcptr))
         new_ip = jnp.where(launches_lit, new_ip + p_rem, new_ip)
-        from_inp = jnp.where(launches_lit, FROM_LIT,
-                             jnp.where(launches_cpy, FROM_COPY, from_inp))
-        dist = jnp.where(ph_mh, offset, dist)
         phase = jnp.where(
             ph_tok, tk_phase,
             jnp.where(lx_launch, PH_MATCHHDR,
@@ -189,15 +192,21 @@ def _decode_kernel(lens_ref, in_ref, uni_ref, meta_ref, *scr_refs):
         ip = jnp.where(parse, new_ip, ip)
         open_ = open_ & ~stall & ~(err > 0)
 
-        # ---- emit one run slice into the tile (shared with snappy_w)
+        # ---- emit one run slice into the register window (same engine as
+        # snappy_pallas_w: two-register window, crossing continuation,
+        # stay-in-place overlap acceleration)
         o = op & 127
+        cwrow = op >> 7
         emit = open_ & (rem > 0) & active
-        is_copy = emit & (from_inp == FROM_COPY)
+        is_copy = emit & (srcptr >= OUTBASE)
         take = jnp.minimum(rem, 128 - o)
-        take = jnp.where(is_copy, jnp.minimum(take, dist), take)
+        second = cwrow > wrow0
+        take = jnp.where(second, jnp.minimum(take, 127 - o), take)
+        avail = OUTBASE + op - srcptr
+        take = jnp.minimum(take, avail)
         take = jnp.where(emit, take, 0)
 
-        q = jnp.where(is_copy, OUTBASE + op - dist, src)
+        q = srcptr
         qr = q >> 7
 
         scr_refs[gi][...] = qr
@@ -214,61 +223,63 @@ def _decode_kernel(lens_ref, in_ref, uni_ref, meta_ref, *scr_refs):
         spos = q + lane - o
         v_far = gather2(La, Lb, (spos - (qr << 7)) & 255)
         is_copy_b = jnp.broadcast_to(is_copy[:, 0:1], (SUBG, LANES))
-        in_tile = is_copy_b & (spos >= OUTBASE + (wrow << 7))
-        v_tile = jnp.take_along_axis(tile, spos & 127, axis=1)
-        value = jnp.where(in_tile, v_tile, v_far)
+        rowA_start = OUTBASE + (cwrow << 7)
+        in_A = is_copy_b & (spos >= rowA_start)
+        in_B = is_copy_b & (spos >= rowA_start - 128) & ~in_A
+        m127 = spos & 127
+        v_tA = jnp.take_along_axis(tileA, m127, axis=1)
+        v_tB = jnp.take_along_axis(tileB, m127, axis=1)
+        value = jnp.where(in_A, v_tA, jnp.where(in_B, v_tB, v_far))
 
         mask = (lane >= o) & (lane < o + take)
-        tile = jnp.where(mask, value, tile)
+        tileA = jnp.where(mask, value, tileA)
         op = op + take
         rem = rem - take
-        src = src + take
-        dist = jnp.where(
-            is_copy & (take == dist) & (rem > 0),
-            jnp.minimum(dist * 2, MAX_OUT), dist)
+        srcptr = srcptr + jnp.where(take == avail, 0, take)
         crossed = ((op & 127) == 0) & (take > 0)
-        open_ = open_ & ~crossed
+        crossed_b = jnp.broadcast_to(crossed[:, 0:1], (SUBG, LANES))
+        tileB = jnp.where(crossed_b, tileA, tileB)
+        tileA = jnp.where(crossed_b, zero, tileA)
+        open_ = open_ & ~(second & ((op & 127) == 127) & (rem > 0))
 
-        return (ip, op, rem, src, from_inp, dist, phase, acc, pend_ml,
-                err, tile), open_
+        return (ip, op, rem, srcptr, phase, acc, pend_ml, err,
+                tileA, tileB), open_
 
     def body(c):
         steps, states = c
         envs = []
         for gi in range(G):
             ip, op = states[gi][0], states[gi][1]
-            wrow = op >> 7
+            wrow0 = op >> 7
             hrow = ip >> 7
             Ha, Hb = hdr_load(gi, hrow)
             hbase = jnp.maximum(jnp.minimum(hrow, Rc - 2), 0) << 7
             open_ = jnp.ones((SUBG, LANES), jnp.bool_)
-            envs.append([Ha, Hb, hbase, wrow, open_])
+            envs.append([Ha, Hb, hbase, wrow0, open_])
         sts = list(states)
         for _ in range(K):
             for gi in range(G):
                 sts[gi], open_ = token_step(gi, sts[gi], envs[gi])
                 envs[gi][4] = open_
 
+        # flush: tileB (the last COMPLETED row) at row op>>7 - 1
         out_states = []
         for gi in range(G):
             st = sts[gi]
-            op, tile = st[1], st[10]
-            wrow = envs[gi][3]
-            scr_refs[gi][...] = wrow
+            op, tileB = st[1], st[9]
+            fr = (op >> 7) - 1
+            scr_refs[gi][...] = fr
             for r in range(SUBG):
                 c = gi * SUBG + r
-                row = Rc + jnp.minimum(scr_refs[gi][r, 0], OUT_ROWSP - 1)
-                uni_ref[pl.ds(c * RT + row, 1), :] = tile[r : r + 1, :]
-            crossed_it = (op >> 7) > wrow
-            tile = jnp.where(crossed_it, zero, tile)
-            out_states.append(st[:10] + (tile,))
+                row = Rc + jnp.clip(scr_refs[gi][r, 0], 0, OUT_ROWSP - 1)
+                uni_ref[pl.ds(c * RT + row, 1), :] = tileB[r : r + 1, :]
+            out_states.append(st)
         return (steps + 1, tuple(out_states))
 
     init_states = tuple(
-        (zero, zero, zero, zero, zero, zero, zero, zero, zero,
-         err0_g[gi], zero)
+        (zero, zero, zero, zero, zero, zero, zero,
+         err0_g[gi], zero, zero)
         for gi in range(G))
-    M = 16
 
     def outer_body(c):
         return jax.lax.fori_loop(0, M, lambda _, cc: body(cc), c)
@@ -277,8 +288,18 @@ def _decode_kernel(lens_ref, in_ref, uni_ref, meta_ref, *scr_refs):
         cond, outer_body, (jnp.int32(0), init_states))
 
     for gi in range(G):
-        op, rem, phase, err = (states[gi][1], states[gi][2], states[gi][6],
-                               states[gi][9])
+        op, rem, phase, err, tileA, tileB = (
+            states[gi][1], states[gi][2], states[gi][4], states[gi][7],
+            states[gi][8], states[gi][9])
+        # final flush: ordered per-row stores, newest wins on clip collision
+        fr = (op >> 7) - 1
+        scr_refs[gi][...] = fr
+        for r in range(SUBG):
+            c = gi * SUBG + r
+            row = Rc + jnp.clip(scr_refs[gi][r, 0], 0, OUT_ROWSP - 1)
+            uni_ref[pl.ds(c * RT + row, 1), :] = tileB[r : r + 1, :]
+            rowa = Rc + jnp.clip(scr_refs[gi][r, 0] + 1, 0, OUT_ROWSP - 1)
+            uni_ref[pl.ds(c * RT + rowa, 1), :] = tileA[r : r + 1, :]
         # valid end: all input consumed, no run in flight, parked in
         # MATCHHDR (final literals-only sequence — last-literals rule)
         ok = (err == 0) & (rem == 0) & (phase == PH_MATCHHDR)

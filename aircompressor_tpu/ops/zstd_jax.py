@@ -29,7 +29,7 @@ import numpy as np
 from ..errors import MalformedInputException
 from ..zstd import constants as C
 from ..zstd import device_prep as dp
-from .zstd_pallas import EXEC_SUB, HUFF_AG, HUFF_SUB, SEQ_SUB
+from .zstd_pallas import EXEC_G, EXEC_SUB, HUFF_AG, HUFF_SUB, SEQ_SUB
 
 LANES = 128
 
@@ -177,7 +177,7 @@ def _pack_seq(plan: dp.BatchPlan):
 def _pack_frames(plan: dp.BatchPlan):
     frames = np.zeros((F_PER_LAUNCH, LANES), np.int32)
     desc = np.zeros((DESC_ROWS, LANES), np.int32)
-    iters = np.zeros(F_PER_LAUNCH // EXEC_SUB, np.int32)
+    iters = np.zeros(F_PER_LAUNCH // (EXEC_G * EXEC_SUB), np.int32)
     di = 0
     for f, fp in enumerate(plan.frames):
         frames[f, 0] = di  # F_DESCBASE
@@ -278,37 +278,86 @@ def _src_views(src_u8):
     return _SRC_PREP(src_u8)
 
 
-def _enqueue_plan(plan: dp.BatchPlan):
-    """Enqueue the three kernels for one planned launch; returns device
-    handles (no sync — callers enqueue every launch before fetching any,
-    pipelining host planning with device execution). Measured: separate
-    programs pipeline BETTER through the dev relay than one fused jit
-    (1.5s vs 0.9s warm on the 6MB corpus), so keep them unfused."""
-    import jax
-    import jax.numpy as jnp
+_PIPE = {}
 
-    from . import zstd_pallas
 
-    interpret = jax.default_backend() != "tpu"
-    src_rows, src_words = _src_views(jnp.asarray(_pad_src(plan.src)))
+def _pipe_fn(desc_rows: int, interpret: bool):
+    """ONE fused program for a whole launch (r4): every dispatch through
+    the dev relay costs ~25ms regardless of size, so the three kernels,
+    the src/exec input prep, and the meta pack run as a single jit fed by
+    TWO uploads (src u8 + one packed i32 params blob). r3 ran ~10
+    dispatches per launch; the fused program cuts the per-launch relay
+    cost ~3x."""
+    key = (desc_rows, interpret)
+    if key not in _PIPE:
+        import jax
+        import jax.numpy as jnp
+
+        from . import zstd_pallas
+
+        shapes = (
+            (GH // HUFF_AG,), (GH * HUFF_SUB, 384),
+            (GS,), (GS * SEQ_SUB, 128), (GS, 10, SEQ_SUB, 128),
+            (F_PER_LAUNCH // (zstd_pallas.EXEC_G * EXEC_SUB),),
+            (F_PER_LAUNCH, LANES), (desc_rows, LANES),
+        )
+        info_const = np.asarray(_SEQ_INFO)
+
+        def pipe(src_u8, blob):
+            b = src_u8.astype(jnp.int32)
+            src_rows = b.reshape(SRC_ROWS, LANES)
+            q = b.reshape(-1, 4)
+            src_words = (q[:, 0] | (q[:, 1] << 8) | (q[:, 2] << 16)
+                         | (q[:, 3] << 24)).reshape(SRC_ROWS // 4, LANES)
+            cuts, o = [], 0
+            for sh in shapes:
+                n = int(np.prod(sh))
+                cuts.append(blob[o : o + n].reshape(sh))
+                o += n
+            (h_iters, h_params, s_iters, s_params, s_tabs,
+             d_iters, d_frames, d_desc) = cuts
+            litpad, h_rem = zstd_pallas.huffman_decode(
+                h_iters, h_params, src_rows, LIT_ROWS, interpret)
+            ll, ml, of, s_rem, s_err = zstd_pallas.fse_sequences(
+                s_iters, s_params, s_tabs, jnp.asarray(info_const),
+                src_words, SEQ_ROWS, interpret)
+            seq3 = jnp.stack([ll, ml, of], axis=1).reshape(-1, LANES)
+            litsrc = jnp.concatenate([litpad, src_rows], axis=0)
+            out, out_len, ok = zstd_pallas.execute(
+                d_iters, d_frames, d_desc, seq3, litsrc,
+                OUT_CAP // LANES, interpret)
+            meta = jnp.concatenate([
+                out_len.astype(jnp.int32), ok.astype(jnp.int32),
+                h_rem.astype(jnp.int32), s_rem.astype(jnp.int32),
+                s_err.astype(jnp.int32)])
+            return out, meta
+
+        _PIPE[key] = jax.jit(pipe)
+    return _PIPE[key]
+
+
+def _pack_launch(plan: dp.BatchPlan):
+    """(src u8 flat, params blob i32 flat) for one launch — fixed shapes."""
     h_iters, h_params = _pack_huff(plan)
     s_iters, s_params, s_tabs = _pack_seq(plan)
     d_iters, d_frames, d_desc = _pack_frames(plan)
+    blob = np.concatenate([
+        a.ravel() for a in (h_iters, h_params, s_iters, s_params, s_tabs,
+                            d_iters, d_frames, d_desc)]).astype(np.int32)
+    return _pad_src(plan.src), blob
 
-    litpad, h_rem = zstd_pallas.huffman_decode(
-        jnp.asarray(h_iters), jnp.asarray(h_params), src_rows,
-        LIT_ROWS, interpret)
-    ll, ml, of, s_rem, s_err = zstd_pallas.fse_sequences(
-        jnp.asarray(s_iters), jnp.asarray(s_params), jnp.asarray(s_tabs),
-        jnp.asarray(_SEQ_INFO), src_words, SEQ_ROWS, interpret)
-    seq3, litsrc = _exec_inputs(ll, ml, of, litpad, src_rows)
-    out, out_len, ok = zstd_pallas.execute(
-        jnp.asarray(d_iters), jnp.asarray(d_frames), jnp.asarray(d_desc),
-        seq3, litsrc, OUT_CAP // LANES, interpret)
-    # one packed meta array -> one fetch (each separate fetch costs a
-    # relay round-trip on the dev tunnel)
-    meta = _pack_meta(out_len, ok, h_rem, s_rem, s_err)
-    return (out, meta, out_len.shape[0], h_rem.shape[0], s_rem.shape[0])
+
+def _enqueue_plan(plan: dp.BatchPlan):
+    """Enqueue ONE fused program for one planned launch; returns device
+    handles (no sync)."""
+    import jax
+    import jax.numpy as jnp
+
+    interpret = jax.default_backend() != "tpu"
+    src, blob = _pack_launch(plan)
+    pipe = _pipe_fn(DESC_ROWS, interpret)
+    out, meta = pipe(jnp.asarray(src), jnp.asarray(blob))
+    return (out, meta, F_PER_LAUNCH, GH * HUFF_SUB, GS * SEQ_SUB)
 
 
 def _finalize_plan(plan: dp.BatchPlan, handles):
@@ -408,8 +457,11 @@ def decode_batch(items, out_cap: int = OUT_CAP, verify_checksums: bool = True):
         plan = _merge_plans([p for _, p in batch])
         inflight.append((list(batch), plan, _enqueue_plan(plan)))
 
-    # phase 1: plan + enqueue every launch (device runs while the host
-    # plans the next batch); phase 2: fetch + validate in order
+    # phase 1: plan + enqueue every launch (per-launch uploads + ONE fused
+    # dispatch each, so transfers overlap the previous launch's device
+    # work on the ~30MB/s tunnel — a whole-batch upload was measured
+    # SLOWER, it serializes transfer behind compute); phase 2: fetch +
+    # validate in order
     for i, item in enumerate(items):
         solo = dp.plan_batch([item], out_cap)
         u = _usage(solo)

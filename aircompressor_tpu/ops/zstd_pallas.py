@@ -23,8 +23,8 @@ zstd/device_prep.py):
   tables are shared constant rows. Reference parity:
   zstd/ZstdFrameDecompressor.java:375-460.
 
-- ``execute`` (kernel D): EXEC_SUB frames per grid step, one per sublane
-  row of vectorized state tiles; the merged parse+emit
+- ``execute`` (kernel D): EXEC_G interleaved groups of EXEC_SUB frames
+  per grid step, one frame per sublane row of vectorized state tiles; the merged parse+emit
   state machine of ops/snappy_pallas8.py generalized to zstd sequences:
   literal runs source through a per-block PIECEWISE map (huffman-decoded
   padded regions / raw input bytes / RLE fill) and match copies replay
@@ -68,7 +68,11 @@ D_PKIND, D_PSRC, D_PEND = 4, 8, 12  # 4 lanes each
 # frame descriptor lanes for kernel D
 F_DESCBASE, F_NBLOCKS, F_ITERS = 0, 1, 2
 
-EXEC_SUB = 8  # frames per kernel-D grid step (one per sublane row)
+EXEC_SUB = 8  # frames per kernel-D state tile (one per sublane row)
+EXEC_G = 4  # interleaved independent groups per grid step (r4: the VPU
+# absorbs multiple dependency chains for free — measured on the snappy
+# megakernel — so 4 groups execute 32 frames/step at roughly the
+# single-group iteration cost)
 OUT_PAD_ROWS = 2  # harmless landing rows for kernel D's unconditional flush
 
 
@@ -267,6 +271,9 @@ def huffman_decode(iters, params, src_rows, out_rows: int, interpret: bool):
 
 
 # ======================================================== kernel C: sequences
+SEQ_G = 4  # interleaved independent groups per grid step (r4)
+
+
 def _fse_kernel(iters_ref, params_ref, tabs_ref, info_ref, srcw_ref,
                 ll_ref, ml_ref, of_ref, meta_ref):
     g = pl.program_id(0)
@@ -278,24 +285,48 @@ def _fse_kernel(iters_ref, params_ref, tabs_ref, info_ref, srcw_ref,
     llinfo = jnp.broadcast_to(info_ref[0:1, :], (S, LANES))
     mlinfo = jnp.broadcast_to(info_ref[1:2, :], (S, LANES))
 
-    def lookup(slices, st):
+    def lookup(gi, slices, st):
         """Per-sublane state-table lookup over 128-lane slices."""
         idx = st & 127
         hi = st >> 7
         out = jnp.zeros((S, 1), I32)
         for h, sl in enumerate(slices):
-            v = jnp.take_along_axis(tabs_ref[0, sl, :, :], jnp.broadcast_to(idx, (S, LANES)), axis=1)[:, 0:1]
+            v = jnp.take_along_axis(tabs_ref[gi, sl, :, :], jnp.broadcast_to(idx, (S, LANES)), axis=1)[:, 0:1]
             out = jnp.where(hi == h, v, out)
         return out
 
-    bitbase = params_ref[:, C_BITBASE : C_BITBASE + 1]
+    params_g = [params_ref[gi * S : (gi + 1) * S, :] for gi in range(SEQ_G)]
+    bitbase_g = [p[:, C_BITBASE : C_BITBASE + 1] for p in params_g]
 
-    def body(i, c):
+    # CW iterations per window reload: one iteration consumes <= 81 bits
+    # (<= 3 words), so over CW=16 iterations the 5-word fetch base moves
+    # <= 41 words — a (2,128)-row word pair (256 words) anchored 124..251
+    # words above its base covers the whole span. Reloading per CW kills
+    # the 8 scalar row-pair loads per iteration that bound the r3 kernel
+    # (same amortization as kernel A's A_T window).
+    CW = 16
+
+    def load_win(gi, rem):
+        qtop = jnp.maximum((bitbase_g[gi] + rem - 82) >> 5, 0) + 4
+        ra, rb, his = [], [], []
+        for r in range(S):
+            r_hi = jnp.clip(qtop[r, 0] >> 7, 1, srcw_rows - 1)
+            pr = srcw_ref[pl.ds(r_hi - 1, 2), :]
+            ra.append(pr[0:1])
+            rb.append(pr[1:2])
+            his.append(r_hi)
+        Wa = jnp.concatenate(ra, axis=0)
+        Wb = jnp.concatenate(rb, axis=0)
+        wb = (jnp.stack(his).reshape(S, 1) - 1) * LANES
+        return Wa, Wb, wb
+
+    def step_g(gi, i, c, win):
         rem, lls, ofs, mls, rep0, rep1, rep2, tl, tm, to, err = c
+        bitbase = bitbase_g[gi]
 
-        le = lookup((0, 1, 2, 3), lls)
-        oe = lookup((4, 5), ofs)
-        me = lookup((6, 7, 8, 9), mls)
+        le = lookup(gi, (0, 1, 2, 3), lls)
+        oe = lookup(gi, (4, 5), ofs)
+        me = lookup(gi, (6, 7, 8, 9), mls)
         ll_code = le & 63
         of_code = oe & 63
         ml_code = me & 63
@@ -313,15 +344,9 @@ def _fse_kernel(iters_ref, params_ref, tabs_ref, info_ref, srcw_ref,
         # dynamic row-pair load per stream + ONE split-gather for all 40
         # words (replaces 40 lane-compare reductions per iteration).
         qwv = jnp.maximum(((bitbase + rem) - 82) >> 5, 0)  # (8,1)
-        ra, rb = [], []
-        for r in range(S):
-            r0 = jnp.clip(qwv[r, 0] >> 7, 0, srcw_rows - 2)
-            pr = srcw_ref[pl.ds(r0, 2), :]  # one slice, rows are consecutive
-            ra.append(pr[0:1])
-            rb.append(pr[1:2])
-        Wa = jnp.concatenate(ra, axis=0)
-        Wb = jnp.concatenate(rb, axis=0)
-        pk = _gather2(Wa, Wb, (qwv & 127) + jnp.minimum(lane, 4))
+        Wa, Wb, wb = win
+        pk = _gather2(Wa, Wb,
+                      jnp.clip(qwv - wb, 0, 251) + jnp.minimum(lane, 4))
         w = [pk[:, k : k + 1] for k in range(5)]
         remv = rem
         bbase = bitbase
@@ -369,7 +394,7 @@ def _fse_kernel(iters_ref, params_ref, tabs_ref, info_ref, srcw_ref,
         n_rep2 = jnp.where(keep, rep2, n_rep2)
 
         # state updates (order LL, ML, OF) — skipped on each row's final seq
-        nseq = params_ref[:, C_NSEQ : C_NSEQ + 1]
+        nseq = params_g[gi][:, C_NSEQ : C_NSEQ + 1]
         lastv = i >= nseq - 1
         p = p - jnp.where(lastv, 0, ll_nb)
         n_lls = jnp.where(lastv, lls, ll_ns + extract(p, ll_nb))
@@ -390,9 +415,9 @@ def _fse_kernel(iters_ref, params_ref, tabs_ref, info_ref, srcw_ref,
         @pl.when((i & 127) == 127)
         def _():
             for r in range(S):
-                row = params_ref[r, C_OUTROW] + (i >> 7)
+                row = params_ref[gi * S + r, C_OUTROW] + (i >> 7)
 
-                @pl.when((i >> 7) * 128 < params_ref[r, C_NSEQ])
+                @pl.when((i >> 7) * 128 < params_ref[gi * S + r, C_NSEQ])
                 def _():
                     ll_ref[pl.ds(row, 1), :] = tl[r : r + 1, :]
                     ml_ref[pl.ds(row, 1), :] = tm[r : r + 1, :]
@@ -416,51 +441,73 @@ def _fse_kernel(iters_ref, params_ref, tabs_ref, info_ref, srcw_ref,
 
     zero_t = jnp.zeros((S, LANES), I32)
     ones = jnp.ones((S, 1), I32)
-    init = (
-        params_ref[:, C_REM : C_REM + 1],
-        params_ref[:, C_LLS : C_LLS + 1],
-        params_ref[:, C_OFS : C_OFS + 1],
-        params_ref[:, C_MLS : C_MLS + 1],
+    init = tuple((
+        params_g[gi][:, C_REM : C_REM + 1],
+        params_g[gi][:, C_LLS : C_LLS + 1],
+        params_g[gi][:, C_OFS : C_OFS + 1],
+        params_g[gi][:, C_MLS : C_MLS + 1],
         ones, ones * 4, ones * 8,
         zero_t, zero_t, zero_t,
         jnp.zeros((S, 1), I32),
-    )
-    out = jax.lax.fori_loop(0, iters, body, init)
-    rem, tl, tm, to, err = out[0], out[7], out[8], out[9], out[10]
+    ) for gi in range(SEQ_G))
 
-    @pl.when((iters & 127) != 0)
-    def _():
-        for r in range(S):
-            row = params_ref[r, C_OUTROW] + (iters >> 7)
+    def inner(o, j, cs_wins):
+        cs, wins = cs_wins
+        i = o * CW + j
+        # interleave: one step per group — the SEQ_G chains are
+        # data-independent so the scheduler overlaps them
+        return (tuple(step_g(gi, i, cs[gi], wins[gi])
+                      for gi in range(SEQ_G)), wins)
 
-            @pl.when((iters >> 7) * 128 < params_ref[r, C_NSEQ])
-            def _():
-                ll_ref[pl.ds(row, 1), :] = tl[r : r + 1, :]
-                ml_ref[pl.ds(row, 1), :] = tm[r : r + 1, :]
-                of_ref[pl.ds(row, 1), :] = to[r : r + 1, :]
+    def outer(o, cs):
+        wins = tuple(load_win(gi, cs[gi][0]) for gi in range(SEQ_G))
+        cs, _ = jax.lax.fori_loop(
+            0, CW, lambda j, cw: inner(o, j, cw), (cs, wins))
+        return cs
 
-    meta_ref[0, :, :] = jnp.where(
-        lane == 0, rem, jnp.where(lane == 1, err, 0)
-    )
+    out = jax.lax.fori_loop(0, (iters + CW - 1) // CW, outer, init)
+
+    for gi in range(SEQ_G):
+        rem, tl, tm, to, err = (out[gi][0], out[gi][7], out[gi][8],
+                                out[gi][9], out[gi][10])
+
+        @pl.when((iters & 127) != 0)
+        def _():
+            for r in range(S):
+                row = params_ref[gi * S + r, C_OUTROW] + (iters >> 7)
+
+                @pl.when((iters >> 7) * 128 < params_ref[gi * S + r, C_NSEQ])
+                def _():
+                    ll_ref[pl.ds(row, 1), :] = tl[r : r + 1, :]
+                    ml_ref[pl.ds(row, 1), :] = tm[r : r + 1, :]
+                    of_ref[pl.ds(row, 1), :] = to[r : r + 1, :]
+
+        meta_ref[0, pl.ds(gi * S, S), :] = jnp.where(
+            lane == 0, rem, jnp.where(lane == 1, err, 0)
+        )
 
 
 @partial(jax.jit, static_argnames=("interpret", "seq_rows"))
 def fse_sequences(iters, params, tabs, info, srcw_rows, seq_rows: int,
                   interpret: bool):
-    """Decode G*SEQ_SUB sequences sections in one launch.
+    """Decode G*SEQ_SUB sequences sections in one launch, SEQ_G
+    interleaved groups of SEQ_SUB streams per grid step.
 
-    iters: (G,); params: (G*SEQ_SUB, 128); tabs: (G, 10, SEQ_SUB, 128) FSE slices;
+    iters: (G,) per-GROUP bounds (maxed per grid step in here); params:
+    (G*SEQ_SUB, 128); tabs: (G, 10, SEQ_SUB, 128) FSE slices;
     info: (8, 128) [ll|ml]info const rows; srcw_rows: (Rw, 128) i32 LE words.
     Returns (ll, ml, of (seq_rows,128) i32, rem (G*8,), err (G*8,))."""
     G = iters.shape[0]
+    GS_ = G // SEQ_G
+    step_iters = jnp.max(iters.reshape(GS_, SEQ_G), axis=1)
     ll, ml, of, meta = pl.pallas_call(
         _fse_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(G,),
+            grid=(GS_,),
             in_specs=[
-                pl.BlockSpec((SEQ_SUB, 128), lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 10, SEQ_SUB, 128), lambda g, *_: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((SEQ_G * SEQ_SUB, 128), lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((SEQ_G, 10, SEQ_SUB, 128), lambda g, *_: (g, 0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, 128), lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(srcw_rows.shape, lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
             ],
@@ -468,18 +515,18 @@ def fse_sequences(iters, params, tabs, info, srcw_rows, seq_rows: int,
                 pl.BlockSpec((seq_rows, LANES), lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((seq_rows, LANES), lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((seq_rows, LANES), lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, SEQ_SUB, LANES), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, SEQ_G * SEQ_SUB, LANES), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
             ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((seq_rows, LANES), I32),
             jax.ShapeDtypeStruct((seq_rows, LANES), I32),
             jax.ShapeDtypeStruct((seq_rows, LANES), I32),
-            jax.ShapeDtypeStruct((G, SEQ_SUB, LANES), I32),
+            jax.ShapeDtypeStruct((GS_, SEQ_G * SEQ_SUB, LANES), I32),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(iters.astype(I32), params.astype(I32), tabs.astype(I32),
+    )(step_iters.astype(I32), params.astype(I32), tabs.astype(I32),
       info.astype(I32), srcw_rows)
     return (ll, ml, of, meta[:, :, 0].reshape(-1), meta[:, :, 1].reshape(-1))
 
@@ -503,26 +550,30 @@ def _execute_kernel(iters_ref, frames_ref, desc_ref, seq3_ref,
     offset into PIECE_RAW sources)."""
     del iters_ref  # per-frame bounds live in frames_ref lane F_ITERS
     S = EXEC_SUB
-    out_rows = out_ref.shape[0] // S - OUT_PAD_ROWS
+    FS = EXEC_G * S  # frames per grid step
+    out_rows = out_ref.shape[0] // FS - OUT_PAD_ROWS
+    rows_p = out_rows + OUT_PAD_ROWS
     lane = jax.lax.broadcasted_iota(I32, (S, LANES), 1)
     zero_t = jnp.zeros((S, LANES), I32)
     zero_c = jnp.zeros((S, 1), I32)
 
-    fr = frames_ref[:, 0, :]  # (S, LANES)
-    n_blocks = fr[:, F_NBLOCKS : F_NBLOCKS + 1]
-    desc_base = fr[:, F_DESCBASE : F_DESCBASE + 1]
-    iters_f = fr[:, F_ITERS : F_ITERS + 1]
+    n_blocks_g, desc_base_g, iters_f_g = [], [], []
+    for gi in range(EXEC_G):
+        fr = frames_ref[gi * S : (gi + 1) * S, 0, :]  # (S, LANES)
+        n_blocks_g.append(fr[:, F_NBLOCKS : F_NBLOCKS + 1])
+        desc_base_g.append(fr[:, F_DESCBASE : F_DESCBASE + 1])
+        iters_f_g.append(fr[:, F_ITERS : F_ITERS + 1])
     desc_rows = desc_ref.shape[0]
     seq3_rows = seq3_ref.shape[0]
     litsrc_rows = litsrc_ref.shape[0]
 
-    def rows_of(ref, row_cap, q, base=None, pad=0):
+    def rows_of(gi, ref, row_cap, q, framed=False):
         """Per-frame (row, row+1) pair: ONE 2-row slice per frame."""
         ra, rb = [], []
         for r in range(S):
             r0 = jnp.clip(q[r, 0] >> 7, 0, row_cap - 2)
-            if base is not None:
-                r0 = r0 + (base + pad) * r
+            if framed:
+                r0 = r0 + rows_p * (gi * S + r)
             pr = ref[pl.ds(r0, 2), :]
             ra.append(pr[0:1])
             rb.append(pr[1:2])
@@ -540,18 +591,18 @@ def _execute_kernel(iters_ref, frames_ref, desc_ref, seq3_ref,
         return (jnp.concatenate(la, axis=0), jnp.concatenate(ma, axis=0),
                 jnp.concatenate(oa, axis=0))
 
-    def desc_pair(b):
-        """Block descriptors (current, next) of all S frames: one 2-row
-        slice each (a frame's descriptors are consecutive)."""
+    def desc_pair(gi, b):
+        """Block descriptors (current, next) of the group's S frames: one
+        2-row slice each (a frame's descriptors are consecutive)."""
         cur, nxt = [], []
         for r in range(S):
-            d0 = jnp.clip(desc_base[r, 0] + b[r, 0], 0, desc_rows - 2)
+            d0 = jnp.clip(desc_base_g[gi][r, 0] + b[r, 0], 0, desc_rows - 2)
             t = desc_ref[pl.ds(d0, 2), :]
             cur.append(t[0:1])
             nxt.append(t[1:2])
         return jnp.concatenate(cur, axis=0), jnp.concatenate(nxt, axis=0)
 
-    # carry (all (S,1) columns except the (S,128) tile/prev registers):
+    # per-group carry (all (S,1) columns except the (S,128) tile/prev):
     #  bi: block index; si: seq index in block; op: frame out pos
     #  phase: 0 = schedule next run, 1 = literal run, 2 = match
     #  rem: bytes left in current run; litpos: literals consumed in block
@@ -561,15 +612,39 @@ def _execute_kernel(iters_ref, frames_ref, desc_ref, seq3_ref,
         # its own F_ITERS, so the loop ends when every frame finishes,
         # errors, or exhausts its per-frame bound (no global clause — it
         # could cut off live frames when another hits its bound first)
-        bi, err, steps = c[0], c[9], c[10]
-        live = (bi < n_blocks) & (err == 0) & (steps < iters_f)
+        live = None
+        for gi in range(EXEC_G):
+            bi, err, steps = c[gi][0], c[gi][9], c[gi][10]
+            lg = (bi < n_blocks_g[gi]) & (err == 0) & (steps < iters_f_g[gi])
+            live = lg if live is None else (live | lg)
         return jnp.max(live.astype(I32)) > 0
 
-    def body(c):
-        (bi, si, op, phase, rem, litpos, dist, tile, prev, err, steps) = c
-        frame_live = (bi < n_blocks) & (err == 0) & (steps < iters_f)
+    def win_env(gi, c):
+        """Per-DW-window loads (r4): block descriptors + a 2-row seq3
+        window. Valid while the frame stays in its block (the window
+        CLOSES on a block advance) and si advances <= DW < 128 (the 6-row
+        slice covers seq rows r0, r0+1)."""
+        bi, si = c[0], c[1]
+        drow, drow_next = desc_pair(gi, bi)
+        sq = drow[:, D_SEQROW : D_SEQROW + 1] * LANES + si
+        rows, r0s = [], []
+        for r in range(S):
+            r0 = jnp.clip(sq[r, 0] >> 7, 0, seq3_rows // 3 - 2)
+            rows.append(seq3_ref[pl.ds(3 * r0, 6), :])
+            r0s.append(r0)
+        six = [jnp.concatenate([t[k : k + 1] for t in rows], axis=0)
+               for k in range(6)]
+        r0 = jnp.stack(r0s).reshape(S, 1)
+        open_ = jnp.ones((S, 1), jnp.bool_)
+        return [drow, drow_next, six, r0, open_]
 
-        drow, drow_next = desc_pair(bi)
+    def step_g(gi, c, env):
+        (bi, si, op, phase, rem, litpos, dist, tile, prev, err, steps) = c
+        drow, drow_next, six, r0, open_ = env
+        n_blocks, iters_f = n_blocks_g[gi], iters_f_g[gi]
+        frame_live = ((bi < n_blocks) & (err == 0) & (steps < iters_f)
+                      & open_)
+
         n_seq = drow[:, D_NSEQ : D_NSEQ + 1]
         lit_total = drow[:, D_LITTOTAL : D_LITTOTAL + 1]
 
@@ -577,7 +652,10 @@ def _execute_kernel(iters_ref, frames_ref, desc_ref, seq3_ref,
         need = (phase == 0) & frame_live
         in_seqs = si < n_seq
         sq = drow[:, D_SEQROW : D_SEQROW + 1] * LANES + si
-        LLa, MLa, OFa = seq3_tile(sq)
+        hi_b = jnp.broadcast_to((sq >> 7) > r0, (S, LANES))
+        LLa = jnp.where(hi_b, six[3], six[0])
+        MLa = jnp.where(hi_b, six[4], six[1])
+        OFa = jnp.where(hi_b, six[5], six[2])
         s_lane = si & 127
         # NOTE: indices must be full-width — Mosaic's gather lowering
         # rejects (S,1) indices against an (S,128) input
@@ -648,9 +726,8 @@ def _execute_kernel(iters_ref, frames_ref, desc_ref, seq3_ref,
         near = is_match & (m_dist <= o + 127)
         q_far = jnp.where(is_match, op - m_dist, psrc + (n_litpos - pprev))
         q_far = jnp.where(is_match | is_lit, q_far, zero_c)
-        Oa, Ob = rows_of(out_ref, out_rows, q_far, base=out_rows,
-                         pad=OUT_PAD_ROWS)
-        La, Lb = rows_of(litsrc_ref, litsrc_rows, q_far)
+        Oa, Ob = rows_of(gi, out_ref, out_rows, q_far, framed=True)
+        La, Lb = rows_of(gi, litsrc_ref, litsrc_rows, q_far)
         use_piece = is_lit & (pkind != PIECE_RLE)
         is_rle = is_lit & (pkind == PIECE_RLE)
         src_a = jnp.where(use_piece, La, Oa)
@@ -671,8 +748,8 @@ def _execute_kernel(iters_ref, frames_ref, desc_ref, seq3_ref,
         # snappy kernel); far reads only select rows strictly below the
         # current window, so a partial row is never observed
         for r in range(S):
-            row = jnp.minimum(op[r, 0] >> 7, out_rows + OUT_PAD_ROWS - 1)
-            out_ref[pl.ds(r * (out_rows + OUT_PAD_ROWS) + row, 1), :] = (
+            row = jnp.minimum(op[r, 0] >> 7, rows_p - 1)
+            out_ref[pl.ds((gi * S + r) * rows_p + row, 1), :] = (
                 n_tile[r : r + 1, :])
 
         n_prev = jnp.where(crossed, n_tile, prev)
@@ -701,43 +778,61 @@ def _execute_kernel(iters_ref, frames_ref, desc_ref, seq3_ref,
 
         err_n = err_n | (active & (take <= 0)).astype(I32)
         n_steps = jnp.where(frame_live, steps + 1, steps)
+        # close the window on a block advance: the env's descriptors only
+        # cover blocks bi and bi+1 (the frame stalls until the reload)
+        n_open = open_ & ~adv_block & ~fin_tail
         return (n_bi, n_si, n_op, n_phase, n_rem, n_litpos, n_dist,
-                n_tile, n_prev, err_n, n_steps)
+                n_tile, n_prev, err_n, n_steps), n_open
 
-    init = (zero_c, zero_c, zero_c, zero_c, zero_c, zero_c, zero_c + 1,
-            zero_t, zero_t, zero_c, zero_c)
+    DW = 8  # iterations per desc/seq3 window reload
+
+    def body(c):
+        # interleave: one step per group per unrolled iteration — the
+        # EXEC_G chains are data-independent so the scheduler overlaps them
+        envs = [win_env(gi, c[gi]) for gi in range(EXEC_G)]
+        cs = list(c)
+        for _ in range(DW):
+            for gi in range(EXEC_G):
+                cs[gi], n_open = step_g(gi, cs[gi], envs[gi])
+                envs[gi][4] = n_open
+        return tuple(cs)
+
+    init_g = (zero_c, zero_c, zero_c, zero_c, zero_c, zero_c, zero_c + 1,
+              zero_t, zero_t, zero_c, zero_c)
+    init = tuple(init_g for _ in range(EXEC_G))
     # the cond's live-reduction is a vector->scalar pipeline drain; check
-    # it only every M iterations (finished frames no-op harmlessly — their
+    # it only every M bodies (finished frames no-op harmlessly — their
     # steps stop at iters_f so the per-frame bound still holds)
-    M = 8
+    M = 4
 
     def outer_body(c):
         return jax.lax.fori_loop(0, M, lambda _, cc: body(cc), c)
 
     out = jax.lax.while_loop(cond, outer_body, init)
-    bi, op, tile, err, steps = out[0], out[2], out[7], out[9], out[10]
-
-    ok = (err == 0) & (bi >= n_blocks)
-    meta_ref[0, :, :] = jnp.where(
-        lane == 0, jnp.where(ok, op, -1),
-        jnp.where(lane == 1, ok.astype(I32),
-                  jnp.where(lane == 2, steps, 0)))
+    for gi in range(EXEC_G):
+        bi, op, err, steps = out[gi][0], out[gi][2], out[gi][9], out[gi][10]
+        ok = (err == 0) & (bi >= n_blocks_g[gi])
+        meta_ref[0, pl.ds(gi * S, S), :] = jnp.where(
+            lane == 0, jnp.where(ok, op, -1),
+            jnp.where(lane == 1, ok.astype(I32),
+                      jnp.where(lane == 2, steps, 0)))
 
 
 @partial(jax.jit, static_argnames=("interpret", "out_rows_per_frame"))
 def execute(iters, frames, desc, seq3, litsrc,
             out_rows_per_frame: int, interpret: bool):
-    """Execute all frames' sequences in one launch, EXEC_SUB frames per
-    grid step.
+    """Execute all frames' sequences in one launch, EXEC_G*EXEC_SUB frames
+    per grid step (EXEC_G interleaved groups of EXEC_SUB sublane rows).
 
-    iters: (G,) per-group iteration bounds (G = F/EXEC_SUB); frames:
-    (F,128) — lane F_ITERS carries each frame's own bound; desc: (BD,128)
-    block descriptors; seq3: (3*S,128) row-interleaved (ll,ml,of) triples;
-    litsrc: (L+R,128) huffman-literal bytes then raw input bytes (PIECE_RAW
-    sources carry the offset). Returns (out (F*(out_rows+PAD),128) u8,
-    out_len (F,), ok (F,))."""
+    iters: (G,) per-step iteration bounds (G = F/(EXEC_G*EXEC_SUB));
+    frames: (F,128) — lane F_ITERS carries each frame's own bound; desc:
+    (BD,128) block descriptors; seq3: (3*S,128) row-interleaved (ll,ml,of)
+    triples; litsrc: (L+R,128) huffman-literal bytes then raw input bytes
+    (PIECE_RAW sources carry the offset). Returns
+    (out (F*(out_rows+PAD),128) u8, out_len (F,), ok (F,))."""
     F = frames.shape[0]
-    G = F // EXEC_SUB
+    FS = EXEC_G * EXEC_SUB
+    G = F // FS
     rows_p = out_rows_per_frame + OUT_PAD_ROWS
     out, meta = pl.pallas_call(
         _execute_kernel,
@@ -745,19 +840,19 @@ def execute(iters, frames, desc, seq3, litsrc,
             num_scalar_prefetch=1,
             grid=(G,),
             in_specs=[
-                pl.BlockSpec((EXEC_SUB, 1, LANES), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((FS, 1, LANES), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(desc.shape, lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(seq3.shape, lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(litsrc.shape, lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((EXEC_SUB * rows_p, LANES), lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, EXEC_SUB, LANES), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((FS * rows_p, LANES), lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, FS, LANES), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
             ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((F * rows_p, LANES), I32),
-            jax.ShapeDtypeStruct((G, EXEC_SUB, LANES), I32),
+            jax.ShapeDtypeStruct((G, FS, LANES), I32),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),

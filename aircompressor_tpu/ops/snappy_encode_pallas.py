@@ -44,7 +44,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 I32 = jnp.int32
 LANES = 128
-SUB = 8  # 16/32 miscompile the tab_ref RMW on current Mosaic (zstd kernels hit the same)
+SUB = 8
+# r4 width/interleave bisect (scratch/enc_*.py, device-measured; the r3
+# "tab_ref RMW miscompile" story is now finer-grained):
+#   - the ISOLATED hash-table RMW pattern passes at SUB=16/32 on the
+#     current toolchain (scratch/rmw_repro.py);
+#   - the FULL kernel at SUB=16 with probe loads split from write-backs
+#     produces byte-exact SIZES (matcher + token structure correct) but
+#     corrupts literal CONTENT bytes deterministically, device-only;
+#     splitting the wide drain ops or the carried tiles into 8-row halves
+#     does not fix it (scratch/enc_s16h.py, enc_s16t.py);
+#   - SUB=16 unsplit additionally corrupts the matcher (2x sizes);
+#     SUB=32 corrupts outright;
+#   - ENC_G=2 interleaved groups of 8 are CORRECT on device but no
+#     faster (the kernel is issue-bound, interleaving multiplies ops);
+#     ENC_G=4 corrupts like SUB=16 (scratch/enc_g2.py vs enc_r4_check).
+# Until the lowering bug is fixed upstream, 8x1 is the only sound-and-
+# useful configuration.
 MAX_IN = 65536  # chunk cap (the snappy framing chunk size)
 IN_ROWS = MAX_IN // LANES  # 512
 HASH_LOG = 14

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from . import (checksum_jax, lz4_jax, snappy_encode_jax, snappy_jax,
                snappy_pallas_w, xxhash_jax)
@@ -100,6 +100,7 @@ def sharded_decompress(mesh: Mesh, out_cap: int = 65536):
         step, mesh=mesh,
         in_specs=(P("dp", None), P("dp")),
         out_specs=(P("dp", None), P("dp"), P("dp"), P()),
+        check_vma=False,  # pallas_call outputs carry no vma annotation
     )
 
 

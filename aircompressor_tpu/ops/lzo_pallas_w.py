@@ -88,10 +88,10 @@ def _decode_kernel(lens_ref, in_ref, uni_ref, meta_ref, *scr_refs):
         err0 = ((clen <= 0) | (clen > Rc * LANES)
                 | (first_lit & (ip0 > clen))).astype(I32)
         init_g.append((ip0, zero, rem0, src0, from0, zero, zero, state0,
-                       zero, zero, zero, zero, err0, zero))
+                       zero, zero, zero, zero, err0, zero, zero))
 
     # per-group carry: ip, op, rem, src, from_inp, dist, phase, state, acc,
-    #                  kind, pflag, pend_tr, err, tile
+    #                  kind, pflag, pend_tr, err, tileA, tileB
     def cond(c):
         steps = c[0]
         live = jnp.int32(0)
@@ -116,8 +116,8 @@ def _decode_kernel(lens_ref, in_ref, uni_ref, meta_ref, *scr_refs):
 
     def token_step(gi, st, env):
         (ip, op, rem, src, from_inp, dist, phase, state, acc, kind,
-         pflag, pend_tr, err, tile) = st
-        Ha, Hb, hbase, wrow, open_ = env
+         pflag, pend_tr, err, tileA, tileB) = st
+        Ha, Hb, hbase, wrow0, open_ = env
         clen = clen_g[gi]
 
         active = (err == 0) & (
@@ -264,11 +264,15 @@ def _decode_kernel(lens_ref, in_ref, uni_ref, meta_ref, *scr_refs):
         pend_tr = jnp.where(parse, n_pend, pend_tr)
         open_ = open_ & ~stall & ~(err > 0)
 
-        # ---- emit (shared engine, unified source)
+        # ---- emit (shared r4 engine: two-register window with crossing
+        # continuation, see ops/snappy_pallas_w.py)
         o = op & 127
+        cwrow = op >> 7
         emit = open_ & (rem > 0) & active
         is_copy = emit & (from_inp == FROM_COPY)
         take = jnp.minimum(rem, 128 - o)
+        second = cwrow > wrow0
+        take = jnp.where(second, jnp.minimum(take, 127 - o), take)
         take = jnp.where(is_copy, jnp.minimum(take, dist), take)
         take = jnp.where(emit, take, 0)
 
@@ -289,12 +293,16 @@ def _decode_kernel(lens_ref, in_ref, uni_ref, meta_ref, *scr_refs):
         spos = q + lane - o
         v_far = gather2(La, Lb, (spos - (qr << 7)) & 255)
         is_copy_b = jnp.broadcast_to(is_copy[:, 0:1], (SUBG, LANES))
-        in_tile = is_copy_b & (spos >= OUTBASE + (wrow << 7))
-        v_tile = jnp.take_along_axis(tile, spos & 127, axis=1)
-        value = jnp.where(in_tile, v_tile, v_far)
+        rowA_start = OUTBASE + (cwrow << 7)
+        in_A = is_copy_b & (spos >= rowA_start)
+        in_B = is_copy_b & (spos >= rowA_start - 128) & ~in_A
+        m127 = spos & 127
+        v_tA = jnp.take_along_axis(tileA, m127, axis=1)
+        v_tB = jnp.take_along_axis(tileB, m127, axis=1)
+        value = jnp.where(in_A, v_tA, jnp.where(in_B, v_tB, v_far))
 
         mask = (lane >= o) & (lane < o + take)
-        tile = jnp.where(mask, value, tile)
+        tileA = jnp.where(mask, value, tileA)
         op = op + take
         rem = rem - take
         src = src + take
@@ -302,41 +310,43 @@ def _decode_kernel(lens_ref, in_ref, uni_ref, meta_ref, *scr_refs):
             is_copy & (take == dist) & (rem > 0),
             jnp.minimum(dist * 2, MAX_OUT), dist)
         crossed = ((op & 127) == 0) & (take > 0)
-        open_ = open_ & ~crossed
+        crossed_b = jnp.broadcast_to(crossed[:, 0:1], (SUBG, LANES))
+        tileB = jnp.where(crossed_b, tileA, tileB)
+        tileA = jnp.where(crossed_b, zero, tileA)
+        open_ = open_ & ~(second & ((op & 127) == 127) & (rem > 0))
 
         return (ip, op, rem, src, from_inp, dist, phase, state, acc, kind,
-                pflag, pend_tr, err, tile), open_
+                pflag, pend_tr, err, tileA, tileB), open_
 
     def body(c):
         steps, states = c
         envs = []
         for gi in range(G):
             ip, op = states[gi][0], states[gi][1]
-            wrow = op >> 7
+            wrow0 = op >> 7
             hrow = ip >> 7
             Ha, Hb = hdr_load(gi, hrow)
             hbase = jnp.maximum(jnp.minimum(hrow, Rc - 2), 0) << 7
             open_ = jnp.ones((SUBG, LANES), jnp.bool_)
-            envs.append([Ha, Hb, hbase, wrow, open_])
+            envs.append([Ha, Hb, hbase, wrow0, open_])
         sts = list(states)
         for _ in range(K):
             for gi in range(G):
                 sts[gi], open_ = token_step(gi, sts[gi], envs[gi])
                 envs[gi][4] = open_
 
+        # flush: tileB (the last COMPLETED row) at row op>>7 - 1
         out_states = []
         for gi in range(G):
             st = sts[gi]
-            op, tile = st[1], st[13]
-            wrow = envs[gi][3]
-            scr_refs[gi][...] = wrow
+            op, tileB = st[1], st[14]
+            fr = (op >> 7) - 1
+            scr_refs[gi][...] = fr
             for r in range(SUBG):
                 c = gi * SUBG + r
-                row = Rc + jnp.minimum(scr_refs[gi][r, 0], OUT_ROWSP - 1)
-                uni_ref[pl.ds(c * RT + row, 1), :] = tile[r : r + 1, :]
-            crossed_it = (op >> 7) > wrow
-            tile = jnp.where(crossed_it, zero, tile)
-            out_states.append(st[:13] + (tile,))
+                row = Rc + jnp.clip(scr_refs[gi][r, 0], 0, OUT_ROWSP - 1)
+                uni_ref[pl.ds(c * RT + row, 1), :] = tileB[r : r + 1, :]
+            out_states.append(st)
         return (steps + 1, tuple(out_states))
 
     M = 16
@@ -348,8 +358,18 @@ def _decode_kernel(lens_ref, in_ref, uni_ref, meta_ref, *scr_refs):
         cond, outer_body, (jnp.int32(0), tuple(init_g)))
 
     for gi in range(G):
-        op, rem, phase, err = (states[gi][1], states[gi][2], states[gi][6],
-                               states[gi][12])
+        op, rem, phase, err, tileA, tileB = (
+            states[gi][1], states[gi][2], states[gi][6], states[gi][12],
+            states[gi][13], states[gi][14])
+        # final flush: ordered per-row stores, newest wins on clip collision
+        fr = (op >> 7) - 1
+        scr_refs[gi][...] = fr
+        for r in range(SUBG):
+            c = gi * SUBG + r
+            row = Rc + jnp.clip(scr_refs[gi][r, 0], 0, OUT_ROWSP - 1)
+            uni_ref[pl.ds(c * RT + row, 1), :] = tileB[r : r + 1, :]
+            rowa = Rc + jnp.clip(scr_refs[gi][r, 0] + 1, 0, OUT_ROWSP - 1)
+            uni_ref[pl.ds(c * RT + rowa, 1), :] = tileA[r : r + 1, :]
         # valid end: the M4 stop command was seen (phase DONE) with no run
         # in flight (reference: "missing stop command" otherwise)
         ok = (err == 0) & (rem == 0) & (phase == PH_DONE)

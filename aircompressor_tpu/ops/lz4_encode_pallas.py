@@ -233,6 +233,20 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
         n_ip = jnp.where(res, mend, n_ip)
         n_anchor = jnp.where(res, mend, anchor)
         n_skip = jnp.where(res, jnp.int32(64), n_skip)
+        # reference parity: before scanning resumes, seed
+        # table[hash(bytes(mend-2))] = mend-2 (Lz4RawCompressor.java:167-168)
+        wb2 = bytes4(jnp.maximum(mend - 2, 0))
+        hb2 = _srl(wb2 * jnp.int32(np.int32(np.uint32(2654435761))),
+                   32 - HASH_LOG)
+        updb = (res & (mend >= 2)).astype(I32)
+        for r in range(SUB):
+            trow = jnp.clip(hb2[r, 0] >> 7, 0, TAB_ROWS - 1)
+            rowb = tab_ref[pl.ds(r * TAB_ROWS + trow, 1), :]
+            hl = hb2[r, 0] & 127
+            lv = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
+            tab_ref[pl.ds(r * TAB_ROWS + trow, 1), :] = jnp.where(
+                jnp.logical_and(lv == hl, updb[r, 0] > 0),
+                mend[r, 0] - 2, rowb)
 
         # run scheduling
         sched_h1 = in_tok | in_litterm | in_mlterm  # one header byte

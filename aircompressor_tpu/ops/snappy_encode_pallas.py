@@ -256,6 +256,19 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
         n_anchor = jnp.where(cpy_done, mend, anchor)
         n_anchor = jnp.where(in_tail, nlen, n_anchor)
         n_skip = jnp.where(cpy_done, jnp.int32(32), n_skip)
+        # reference parity: before scanning resumes at the match end, seed
+        # table[hash(bytes(mend-1))] = mend-1 ("to improve compression we
+        # first update table[Hash(ip - 1)]", SnappyRawCompressor.java:205-212)
+        wb1 = bytes4(jnp.maximum(mend - 1, 0))
+        hb1 = _srl(wb1 * jnp.int32(0x1E35A7BD), 32 - HASH_LOG)
+        updb = cpy_done.astype(I32)
+        for r in range(SUB):
+            trow = jnp.clip(hb1[r, 0] >> 7, 0, TAB_ROWS - 1)
+            row = tab_ref[pl.ds(r * TAB_ROWS + trow, 1), :]
+            hl = hb1[r, 0] & 127
+            lv = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
+            tab_ref[pl.ds(r * TAB_ROWS + trow, 1), :] = jnp.where(
+                jnp.logical_and(lv == hl, updb[r, 0] > 0), mend[r, 0] - 1, row)
 
         # pending-run scheduling (header registers + literal run)
         n_hdr0 = jnp.where(sched_lit, lh0, jnp.where(in_cpy, ch0, hdr0))

@@ -465,13 +465,18 @@ def _fse_kernel(iters_ref, params_ref, tabs_ref, info_ref, srcw_ref,
             0, CW, lambda j, cw: inner(o, j, cw), (cs, wins))
         return cs
 
-    out = jax.lax.fori_loop(0, (iters + CW - 1) // CW, outer, init)
+    total = ((iters + CW - 1) // CW) * CW
+    out = jax.lax.fori_loop(0, total // CW, outer, init)
 
     for gi in range(SEQ_G):
         rem, tl, tm, to, err = (out[gi][0], out[gi][7], out[gi][8],
                                 out[gi][9], out[gi][10])
 
-        @pl.when((iters & 127) != 0)
+        # the loop's own (i&127)==127 flush already stored (and zeroed)
+        # the final data row when the CW-rounded iteration count crossed
+        # its boundary; only flush here when it did not (same guard as
+        # kernel A's A_T rounding)
+        @pl.when(((iters & 127) != 0) & (total < ((iters >> 7) + 1) * 128))
         def _():
             for r in range(S):
                 row = params_ref[gi * S + r, C_OUTROW] + (iters >> 7)

@@ -64,3 +64,39 @@ def test_device_decode_rejects_corrupt():
         outs = zstd_jax.decode_batch([bytes(blob)], verify_checksums=True)
         # if structure happened to survive, the checksum must not
         assert outs[0] == orig
+
+
+def test_device_decode_unequal_seq_counts_boundary():
+    """Regression (r4): kernel C pads its iteration count to the CW window;
+    when a LARGER co-batched stream pushes the padded count across a
+    128-iteration flush boundary of a SMALLER stream, the in-loop flush
+    stores-and-zeroes the smaller stream's final row — the final flush must
+    then NOT overwrite it with the zeroed tile (found on device via the
+    bench encode round trip, frame 21 of the frozen corpus)."""
+    from aircompressor_tpu.ops import zstd_jax
+    from aircompressor_tpu.zstd import device_prep as dp
+    from aircompressor_tpu.zstd import frame_enc
+
+    CW = 16  # ops/zstd_pallas.py kernel-C window
+    text = _load("urls.10K")
+    cands = []
+    for size in (3072, 4096, 5120, 6144, 7168, 8192, 10240, 12288):
+        raw = text[:size]
+        frame = bytes(frame_enc.compress_bytes(raw))
+        plan = dp.plan_batch([frame], zstd_jax.OUT_CAP)
+        nseq = max((bp.n_seq for fp in plan.frames for bp in fp.blocks),
+                   default=0)
+        cands.append((nseq, frame, raw))
+    pair = None
+    for na, fa, ra in cands:
+        for nb, fb, rb in cands:
+            total = -(-max(na, nb) // CW) * CW
+            if (na & 127) and total >= ((na >> 7) + 1) * 128 and nb > na:
+                pair = ((fa, ra), (fb, rb))
+                break
+        if pair:
+            break
+    assert pair is not None, [c[0] for c in cands]
+    (fa, ra), (fb, rb) = pair
+    outs = zstd_jax.decode_batch([fa, fb])
+    assert outs[0] == ra and outs[1] == rb

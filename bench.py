@@ -481,7 +481,9 @@ import jax, jax.numpy as jnp
 from aircompressor_tpu.ops import pipeline
 
 devs = jax.devices()
-B, CHUNK = 64, 65536
+# sharded_decompress wraps the PRODUCTION megakernel (interpret-mode on
+# this CPU mesh) — chunks sized so the interpret while-loop stays cheap
+B, CHUNK = 64, 4096
 rng = np.random.default_rng(0)
 data = np.repeat(rng.integers(0, 256, (B, CHUNK // 16), np.uint8), 16, axis=1)
 lens = np.full((B,), CHUNK, np.int32)

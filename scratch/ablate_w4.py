@@ -253,6 +253,24 @@ def make_kernel(variant, iters):
                 wrow = envs[gi][3]
                 if variant == "nostore":
                     pass
+                elif variant == "storescr":
+                    # store to a SEPARATE small ref at a static address:
+                    # isolates uni-ref aliasing + dynamic addressing
+                    for r in range(SUBG):
+                        scr_refs[gi][pl.ds(r, 1), :] = tile[r: r + 1, :]
+                elif variant == "storestatic":
+                    # store to uni_ref at a STATIC per-chunk row: isolates
+                    # the dynamic-address component
+                    for r in range(SUBG):
+                        c = gi * SUBG + r
+                        uni_ref[pl.ds(c * RT + Rc, 1), :] = tile[r: r + 1, :]
+                elif variant == "storedyn_scr":
+                    # dynamic store into the scr ref (separate buffer,
+                    # dynamic address)
+                    scr_refs[gi][...] = wrow
+                    for r in range(SUBG):
+                        row = jnp.clip(scr_refs[gi][r, 0], 0, SUBG - 1)
+                        scr_refs[gi][pl.ds(row, 1), :] = tile[r: r + 1, :]
                 else:
                     scr_refs[gi][...] = wrow
                     for r in range(SUBG):

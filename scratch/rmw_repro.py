@@ -34,7 +34,7 @@ def make(SUB, variant):
 
         def slot(i):
             # deterministic pseudo-random (trow, hl) per (iteration, chunk)
-            x = (i * jnp.int32(0x9E3779B1)) ^ (sub * jnp.int32(0x85EBCA77))
+            x = (i * jnp.int32(0x9E3779B1 - (1 << 32))) ^ (sub * jnp.int32(0x85EBCA77 - (1 << 32)))
             x = x ^ jax.lax.shift_right_logical(x, 13)
             h = x & jnp.int32((TAB_ROWS * LANES) - 1)
             return h  # (SUB, LANES) replicated per row? no: per-lane varies

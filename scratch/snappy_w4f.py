@@ -1,0 +1,453 @@
+"""Snappy decode megakernel v4 (round 4): v3 + 3-register window and
+pair-flush every SECOND body.
+
+The r4 live-regime ablation shows the per-body flush stores are 71% of
+body cost (~2.1us of 2.96us) no matter where they store; the fix is fewer
+store events. v4 keeps THREE output rows in registers (tileA=cwrow,
+tileB=cwrow-1, tileC=cwrow-2) so memory only serves rows <= cwrow-3, and
+flushes rows [cwrow-2, cwrow-1] as ONE (2,128) store per chunk every
+SECOND body. With <=1 crossing per body (the v2 second-row cap),
+consecutive flush cwrows advance by <=2, so every row r is stored by some
+flush at cwrow in {r+1, r+2} before memory can read it (reads need
+cwrow >= r+3).
+
+v3 on top of v2: the per-chunk {src, from_inp, dist} state merges into ONE
+absolute unified-buffer source pointer ``srcptr`` (input region for
+literals, output history for copies). The RLE overlap "dist doubling"
+disappears: srcptr advances by take, so the copy window grows exactly as
+the emitted bytes become valid source. take is capped by
+avail = OUTBASE + op - srcptr, which for literals is provably >= rem
+(src + rem <= clen <= OUTBASE). is_copy := srcptr >= OUTBASE. Two fewer
+carry tiles per group -> less register pressure, fewer ops per step.
+
+Changes vs ops/snappy_pallas_w.py, driven by the r4 ablation (per body:
+flush stores 0.83us, emission chain 0.66us, source loads 0.20us, scr 0.18us
+of 1.61us total — the kernel is VPU/store ISSUE-bound, not scalar-load
+bound):
+
+1. The output register window is a (tileB=completed row, tileA=current row)
+   pair. A row crossing no longer closes the chunk for the body remainder:
+   tileB <- tileA, tileA <- 0 and stepping continues (close on the SECOND
+   crossing only — rare). Kills the crossing-idle steps AND makes long
+   literal/copy runs advance 2 rows per body.
+2. Flush = ONE (1,128) store per chunk per body: tileB at row (op>>7)-1.
+   Memory only ever needs rows <= op>>7 - 2 (the register pair serves the
+   top two rows), and a completed row's final content is tileB at the
+   first flush after its crossing. Store count per token halves at K=16.
+3. K (token steps per body) raised: flush + header overheads amortize over
+   2x the steps; the 2-row window keeps up (<=256B output per body).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+I32 = jnp.int32
+LANES = 128
+OUT_ROWS = 512
+PAD_ROWS = 8
+OUT_ROWSP = OUT_ROWS + PAD_ROWS
+MAX_OUT = OUT_ROWS * LANES
+
+
+def make_decode(SUBG=8, G=4, K=16, M=64):
+    SUB = SUBG * G
+
+    def _rep(x):
+        return jnp.broadcast_to(x, (SUBG, LANES))
+
+    def _decode_kernel(lens_ref, in_ref, uni_ref, meta_ref, *scr_refs):
+        g0 = pl.program_id(0)
+        Rc = in_ref.shape[0] // SUB
+        RT = Rc + OUT_ROWSP
+        OUTBASE = Rc * LANES
+        lane = jax.lax.broadcasted_iota(I32, (SUBG, LANES), 1)
+        zero = jnp.zeros((SUBG, LANES), I32)
+
+        for r in range(SUB):
+            uni_ref[pl.ds(r * RT, Rc), :] = in_ref[pl.ds(r * Rc, Rc), :]
+
+        def gather2(row_a, row_b, idx):
+            m = idx & 127
+            return jnp.where(
+                idx < 128,
+                jnp.take_along_axis(row_a, m, axis=1),
+                jnp.take_along_axis(row_b, m, axis=1),
+            )
+
+        clen_g, declared_g, vlen_g, err0_g = [], [], [], []
+        for gi in range(G):
+            clen_g.append(_rep(jnp.stack(
+                [lens_ref[g0 * SUB + gi * SUBG + r] for r in range(SUBG)]
+            ).reshape(SUBG, 1)))
+            decs, vlens = [], []
+            for r in range(SUBG):
+                c = gi * SUBG + r
+                v = [in_ref[c * Rc, k] for k in range(5)]
+                declared = v[0] & 0x7F
+                vlen = jnp.int32(1)
+                carry = v[0] >= 128
+                for k in range(1, 5):
+                    declared = jnp.where(
+                        carry, declared | ((v[k] & 0x7F) << (7 * k)), declared)
+                    vlen = vlen + carry.astype(I32)
+                    if k < 4:
+                        carry = carry & (v[k] >= 128)
+                decs.append(declared)
+                vlens.append(vlen)
+            declared_g.append(_rep(jnp.stack(decs).reshape(SUBG, 1)))
+            vlen_g.append(_rep(jnp.stack(vlens).reshape(SUBG, 1)))
+            err0_g.append(((declared_g[gi] > MAX_OUT) | (vlen_g[gi] > clen_g[gi])
+                           | (clen_g[gi] > Rc * LANES)).astype(I32))
+
+        # carry per group: ip, op, rem, srcptr, err, tileA, tileB
+        def cond(c):
+            steps = c[0]
+            live = None
+            for gi in range(G):
+                ip, rem, err = c[1][gi][0], c[1][gi][2], c[1][gi][4]
+                lg = (err == 0) & ((rem > 0) | (ip < clen_g[gi]))
+                live = lg if live is None else (live | lg)
+            # ONE fused reduction for the whole grid step (the per-group
+            # max-reductions were ~19us/eval: each is a full pipeline drain)
+            return (jnp.max(live.astype(I32)) > 0) & (steps < 2 * MAX_OUT)
+
+        def hdr_load(gi, hrow):
+            scr_refs[gi][...] = hrow
+            hp = []
+            for r in range(SUBG):
+                c = gi * SUBG + r
+                h = jnp.clip(scr_refs[gi][r, 0], 0, Rc - 2)
+                hp.append(uni_ref[pl.ds(c * RT + h, 2), :])
+            Ha = jnp.concatenate([p[0:1] for p in hp], axis=0)
+            Hb = jnp.concatenate([p[1:2] for p in hp], axis=0)
+            return Ha, Hb
+
+        def token_step(gi, st, env):
+            ip, op, rem, srcptr, err, tileA, tileB, tileC = st
+            Ha, Hb, hbase, wrow0, open_ = env
+            clen, declared = clen_g[gi], declared_g[gi]
+
+            err_b = err > 0
+            active = ~err_b & ((rem > 0) | (ip < clen)) & open_
+            need = (rem == 0) & active
+            stall = need & (ip + 5 > hbase + 2 * LANES)
+            parse = need & ~stall
+
+            hs = ip - hbase
+            pk = gather2(Ha, Hb, hs[:, 0:1] + jnp.minimum(lane, 5))
+            tag = _rep(pk[:, 0:1])
+            b1 = _rep(pk[:, 1:2])
+            b2 = _rep(pk[:, 2:3])
+            b3 = _rep(pk[:, 3:4])
+            b4 = _rep(pk[:, 4:5])
+
+            ttype = tag & 3
+            n = tag >> 2
+            lit_extra = jnp.clip(n - 59, 0, 4)
+            ext = jnp.where(
+                lit_extra == 0, n + 1,
+                jnp.where(
+                    lit_extra == 1, b1 + 1,
+                    jnp.where(
+                        lit_extra == 2, (b1 | (b2 << 8)) + 1,
+                        jnp.where(
+                            lit_extra == 3, (b1 | (b2 << 8) | (b3 << 16)) + 1,
+                            (b1 | (b2 << 8) | (b3 << 16) | (b4 << 24)) + 1,
+                        ),
+                    ),
+                ),
+            )
+            is_lit_tok = ttype == 0
+            c1_len = 4 + ((tag >> 2) & 7)
+            c1_dist = ((tag >> 5) << 8) | b1
+            c2_len = n + 1
+            c2_dist = b1 | (b2 << 8)
+            c4_dist = b1 | (b2 << 8) | (b3 << 16)
+            cp_len = jnp.where(ttype == 1, c1_len, c2_len)
+            cp_dist = jnp.where(
+                ttype == 1, c1_dist, jnp.where(ttype == 2, c2_dist, c4_dist))
+            tok_size = jnp.where(
+                is_lit_tok,
+                1 + lit_extra,
+                jnp.where(ttype == 1, 2, jnp.where(ttype == 2, 3, 5)),
+            )
+            p_rem = jnp.where(is_lit_tok, ext, cp_len)
+            p_err = (
+                (p_rem < 0)
+                | (p_rem > MAX_OUT)
+                | (ip + tok_size > clen)
+                | (is_lit_tok & (ip + tok_size + jnp.clip(ext, 0, MAX_OUT) > clen))
+                | (op + jnp.clip(p_rem, 0, MAX_OUT) > declared)
+                | (~is_lit_tok) & ((cp_dist <= 0) | (cp_dist > op))
+            )
+
+            rem = jnp.where(parse, p_rem, rem)
+            srcptr = jnp.where(
+                parse,
+                jnp.where(is_lit_tok, ip + tok_size, OUTBASE + op - cp_dist),
+                srcptr)
+            ip = jnp.where(
+                parse, ip + tok_size + jnp.where(is_lit_tok, ext, 0), ip)
+            err = err | (parse & p_err).astype(I32)
+            open_ = open_ & ~stall & ~(err > 0)
+
+            o = op & 127
+            cwrow = op >> 7
+            emit = open_ & (rem > 0) & active
+            is_copy = emit & (srcptr >= OUTBASE)
+            take = jnp.minimum(rem, 128 - o)
+            # in the body's SECOND row, stop one byte short of the row end:
+            # a second crossing would evict tileB (a completed row) before
+            # the flush could store it
+            second = cwrow > wrow0
+            take = jnp.where(second, jnp.minimum(take, 127 - o), take)
+            # copies may not read at/after op; literals have avail >= rem
+            avail = OUTBASE + op - srcptr
+            take = jnp.minimum(take, avail)
+            take = jnp.where(emit, take, 0)
+
+            q = srcptr
+            qr = q >> 7
+
+            scr_refs[gi][...] = qr
+            rows_a, rows_b = [], []
+            for r in range(SUBG):
+                c = gi * SUBG + r
+                qq = jnp.clip(scr_refs[gi][r, 0], 0, RT - 2)
+                pr = uni_ref[pl.ds(c * RT + qq, 2), :]
+                rows_a.append(pr[0:1])
+                rows_b.append(pr[1:2])
+            La = jnp.concatenate(rows_a, axis=0)
+            Lb = jnp.concatenate(rows_b, axis=0)
+
+            spos = q + lane - o  # absolute unified source byte per lane
+            v_far = gather2(La, Lb, (spos - (qr << 7)) & 255)
+            # register-window sources: rows cwrow (tileA) and cwrow-1 (tileB)
+            is_copy_b = jnp.broadcast_to(is_copy[:, 0:1], (SUBG, LANES))
+            rowA_start = OUTBASE + (cwrow << 7)
+            in_A = is_copy_b & (spos >= rowA_start)
+            in_B = is_copy_b & (spos >= rowA_start - 128) & ~in_A
+            v_tA = jnp.take_along_axis(tileA, spos & 127, axis=1)
+            v_tB = jnp.take_along_axis(tileB, spos & 127, axis=1)
+            value = jnp.where(in_A, v_tA, jnp.where(in_B, v_tB, v_far))
+
+            mask = (lane >= o) & (lane < o + take)
+            tileA = jnp.where(mask, value, tileA)
+            op = op + take
+            rem = rem - take
+            # overlap acceleration: a full-gap take leaves srcptr in place,
+            # doubling the gap (the copied bytes are now valid source) —
+            # the register-pair equivalent of the reference's dist doubling
+            srcptr = srcptr + jnp.where(take == avail, 0, take)
+            crossed = ((op & 127) == 0) & (take > 0)
+            # continuation: roll the window on the (only possible) crossing
+            crossed_b = jnp.broadcast_to(crossed[:, 0:1], (SUBG, LANES))
+            tileC = jnp.where(crossed_b, tileB, tileC)
+            tileB = jnp.where(crossed_b, tileA, tileB)
+            tileA = jnp.where(crossed_b, zero, tileA)
+            # second row filled to its cap (byte 127) with output pending:
+            # nothing more can emit this body
+            open_ = open_ & ~(second & ((op & 127) == 127) & (rem > 0))
+
+            return (ip, op, rem, srcptr, err, tileA, tileB, tileC), open_
+
+        def halfbody(states):
+            envs = []
+            for gi in range(G):
+                ip, op = states[gi][0], states[gi][1]
+                wrow0 = op >> 7
+                hrow = ip >> 7
+                Ha, Hb = hdr_load(gi, hrow)
+                hbase = jnp.maximum(jnp.minimum(hrow, Rc - 2), 0) << 7
+                open_ = jnp.ones((SUBG, LANES), jnp.bool_)
+                envs.append([Ha, Hb, hbase, wrow0, open_])
+            sts = list(states)
+            for _ in range(K):
+                for gi in range(G):
+                    sts[gi], open_ = token_step(gi, sts[gi], envs[gi])
+                    envs[gi][4] = open_
+            return tuple(sts)
+
+        def body(c):
+            steps, states = c
+            sts = halfbody(states)
+            # BISECT variant: 3-register window but flush EVERY body
+            # (v3-style single tileB store at cwrow-1)
+            out_states = []
+            for gi in range(G):
+                ip, op, rem, srcptr, err, tileA, tileB, tileC = sts[gi]
+                fr = (op >> 7) - 1
+                scr_refs[gi][...] = fr
+                for r in range(SUBG):
+                    c = gi * SUBG + r
+                    row = Rc + jnp.clip(scr_refs[gi][r, 0], 0, OUT_ROWSP - 1)
+                    uni_ref[pl.ds(c * RT + row, 1), :] = tileB[r: r + 1, :]
+                out_states.append((ip, op, rem, srcptr, err,
+                                   tileA, tileB, tileC))
+            return (steps + 1, tuple(out_states))
+
+        init_states = tuple(
+            (vlen_g[gi], zero, zero, zero, err0_g[gi], zero, zero, zero)
+            for gi in range(G))
+
+        def outer_body(c):
+            return jax.lax.fori_loop(0, M, lambda _, cc: body(cc), c)
+
+        steps, states = jax.lax.while_loop(
+            cond, outer_body, (jnp.int32(0), init_states))
+
+        # final flush: tileA holds the last (possibly partial) row; tileB the
+        # one before it. Store both (landing rows make clipping safe).
+        for gi in range(G):
+            ip, op, rem, err, tileA, tileB, tileC = (
+                states[gi][0], states[gi][1], states[gi][2], states[gi][4],
+                states[gi][5], states[gi][6], states[gi][7])
+            fr = (op >> 7) - 2
+            scr_refs[gi][...] = fr
+            # three ordered (1,128) stores with per-row clips: when rows
+            # collide at 0 after clipping, the LAST (newest) store wins,
+            # which is the correct content
+            for r in range(SUBG):
+                c = gi * SUBG + r
+                rowc = Rc + jnp.clip(scr_refs[gi][r, 0], 0, OUT_ROWSP - 1)
+                uni_ref[pl.ds(c * RT + rowc, 1), :] = tileC[r: r + 1, :]
+                rowb = Rc + jnp.clip(scr_refs[gi][r, 0] + 1, 0, OUT_ROWSP - 1)
+                uni_ref[pl.ds(c * RT + rowb, 1), :] = tileB[r: r + 1, :]
+                rowa = Rc + jnp.clip(scr_refs[gi][r, 0] + 2, 0, OUT_ROWSP - 1)
+                uni_ref[pl.ds(c * RT + rowa, 1), :] = tileA[r: r + 1, :]
+            ok = (err == 0) & (op == declared_g[gi]) & (rem == 0)
+            lane = jax.lax.broadcasted_iota(I32, (SUBG, LANES), 1)
+            meta_ref[pl.ds(gi * SUBG, SUBG), :] = jnp.where(
+                lane == 0, op,
+                jnp.where(lane == 1, ok.astype(I32),
+                          jnp.where(lane == 2,
+                                    _rep(jnp.full((SUBG, 1), steps, I32)), 0)))
+
+    return _decode_kernel
+
+
+def build_impl(SUBG=8, G=4, K=16, M=64, fixed_iters=None):
+    SUB = SUBG * G
+    kern = make_decode(SUBG, G, K, M)
+    if fixed_iters is not None:
+        base = kern
+
+        def kern_fixed(*args):
+            return base(*args)
+        # monkey: easiest is to rebuild with a fixed cond — skip; fixed mode
+        # not needed for v2 (we time full decode directly).
+
+    @partial(jax.jit, static_argnames=())
+    def impl(comp, comp_lens):
+        B, Lc = comp.shape
+        Rc = Lc // LANES
+        RT = Rc + OUT_ROWSP
+        rows = comp.astype(I32).reshape(B * Rc, LANES)
+        NG = B // SUB
+        uni_rows, meta = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(NG,),
+                in_specs=[
+                    pl.BlockSpec((SUB * Rc, LANES), lambda g, *_: (g, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((SUB * RT, LANES), lambda g, *_: (g, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((SUB, LANES), lambda g, *_: (g, 0),
+                                 memory_space=pltpu.VMEM),
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((SUBG, LANES), I32) for _ in range(G)],
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((B * RT, LANES), I32),
+                jax.ShapeDtypeStruct((B, LANES), I32),
+            ),
+            interpret=jax.default_backend() != "tpu",
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(comp_lens.astype(I32), rows)
+        out_lens = meta[:, 0]
+        ok = meta[:, 1] > 0
+        steps = meta[:, 2]
+        out = uni_rows.reshape(B, RT * LANES)[:, Rc * LANES: Rc * LANES + MAX_OUT]
+        j = jnp.arange(MAX_OUT, dtype=I32)[None, :]
+        out = jnp.where(j < out_lens[:, None], out, 0).astype(jnp.uint8)
+        return out, out_lens, ok, steps
+
+    return impl, SUB
+
+
+if __name__ == "__main__":
+    import os
+    import sys
+    import time
+
+    sys.path.insert(0, "/root/repo")
+    import numpy as np
+
+    from aircompressor_tpu.snappy import SnappyCompressor
+
+    TESTDATA = "/root/reference/testdata"
+    NB = int(os.environ.get("NB", "512"))
+    names = ["urls.10K", "html", "geo.protodata", "kppkn.gtb", "house.jpg",
+             "mapreduce-osdi-1.pdf", "large/bible.txt", "large/world192.txt"]
+    data = b"".join(open(os.path.join(TESTDATA, n), "rb").read()
+                    for n in names if os.path.exists(os.path.join(TESTDATA, n)))
+    data = (data * (NB * 65536 // len(data) + 2))
+    comp = SnappyCompressor.create()
+    raws, blobs = [], []
+    for lo in range(0, len(data), 65536):
+        c = data[lo:lo + 65536]
+        if len(c) < 65536:
+            break
+        b = comp.compress(c)
+        if len(b) <= 40960:
+            raws.append(c)
+            blobs.append(b)
+        if len(raws) == NB:
+            break
+    pairs = sorted(zip(blobs, raws), key=lambda p: len(p[0]))
+    blobs = [p[0] for p in pairs]
+    raws = [p[1] for p in pairs]
+    cap = 40960 + 1024
+    buf = np.zeros((NB, cap), np.uint8)
+    lens = np.zeros(NB, np.int32)
+    for i, b in enumerate(blobs):
+        buf[i, :len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+    d, l = jnp.asarray(buf), jnp.asarray(lens)
+    total = NB * 65536
+
+    def timeit(fn, reps=3, trials=5):
+        best = 1e9
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            rs = [fn() for _ in range(reps)]
+            for r in rs:
+                np.asarray(r)
+            best = min(best, (time.perf_counter() - t0) / reps)
+        return best
+
+    cfgs = sys.argv[1:] or ["8,4,16", "8,8,8", "8,8,16", "8,4,24"]
+    for cfg in cfgs:
+        parts = list(map(int, cfg.split(",")))
+        SUBG, G, K = parts[:3]
+        M = parts[3] if len(parts) > 3 else 64
+        impl, SUB = build_impl(SUBG, G, K, M)
+        out, olens, ok, steps = impl(d, l)
+        out_np, olens_np, ok_np = np.asarray(out), np.asarray(olens), np.asarray(ok)
+        bad = sum(1 for i in range(len(raws))
+                  if not ok_np[i] or out_np[i, :olens_np[i]].tobytes() != raws[i])
+        t = timeit(lambda: impl(d, l)[1])
+        print(f"G{G} K{K} M{M}: {t*1e3:7.2f} ms  {total/t/1e9:.3f} GB/s "
+              f"steps={np.asarray(steps)[0]} bad={bad}", flush=True)

@@ -205,16 +205,86 @@ class _Plan:
         self.reason = ""
 
 
-def _plan_chunk(data: bytes, level: int) -> _Plan:
-    """Host side of one chunk: matcher, tables, mode decisions."""
+def _extract_literals(data: np.ndarray, ll: np.ndarray, ml: np.ndarray,
+                      last_lit: int) -> np.ndarray:
+    """Vectorized gather of the literal runs (+trailing) from ``data``
+    given per-sequence (lit_len, match_len) — the ragged-ranges trick."""
+    ll_full = np.concatenate([ll, [last_lit]]).astype(np.int64)
+    seq_adv = np.concatenate([ll + ml, [last_lit]]).astype(np.int64)
+    data_starts = np.concatenate([[0], np.cumsum(seq_adv[:-1])])
+    lit_starts = np.concatenate([[0], np.cumsum(ll_full[:-1])])
+    total = int(ll_full.sum())
+    idx = np.arange(total, dtype=np.int64)
+    delta = np.repeat(data_starts - lit_starts, ll_full)
+    return data[idx + delta]
+
+
+def _device_matcher_batch(chunks, level: int):
+    """Run the DFAST Pallas matcher over the whole batch in one launch;
+    returns per-chunk (ll, offsets, ml, literals) or None (fallback).
+    Level-3-only (the kernel implements the dfast strategy)."""
+    if level != 3:
+        return [None] * len(chunks)
+    import jax.numpy as jnp
+
+    from . import zstd_dfast_pallas as dk
+
+    sizes = [len(c) for c in chunks]
+    if not chunks or max(sizes) > dk.MAX_IN:
+        return [None] * len(chunks)
+    cap = max(max(sizes), LANES)
+    cap += (-cap) % LANES
+    buf = np.zeros((len(chunks), cap), np.uint8)
+    for i, c in enumerate(chunks):
+        buf[i, : len(c)] = np.frombuffer(c, np.uint8)
+    ll_a, ml_a, of_a, nseq_a, last_a, ok_a = dk.find_sequences_batch(
+        jnp.asarray(buf), jnp.asarray(np.asarray(sizes, np.int32)))
+    ll_n, ml_n, of_n = np.asarray(ll_a), np.asarray(ml_a), np.asarray(of_a)
+    nseq_n, last_n, ok_n = (np.asarray(nseq_a), np.asarray(last_a),
+                            np.asarray(ok_a))
+    outs = []
+    for i, c in enumerate(chunks):
+        m = int(nseq_n[i])
+        if not bool(ok_n[i]) or m == 0:
+            outs.append(None)
+            continue
+        ll = ll_n[i, :m].astype(np.int64)
+        ml = ml_n[i, :m].astype(np.int64)
+        of = of_n[i, :m].astype(np.int64)
+        last = int(last_n[i])
+        # structural validation (content corruption is caught by the frame
+        # checksum on decode; structure must be sound before planning)
+        if (ll < 0).any() or (ml < dk.MIN_MATCH).any() or (of <= 0).any():
+            outs.append(None)
+            continue
+        if int(ll.sum() + ml.sum()) + last != len(c):
+            outs.append(None)
+            continue
+        pos = np.cumsum(np.concatenate([[0], (ll + ml)[:-1]]))
+        if (of > pos + ll).any():
+            outs.append(None)
+            continue
+        data = np.frombuffer(c, np.uint8)
+        lits = _extract_literals(data, ll, ml, last)
+        outs.append((ll, of, ml, lits))
+    return outs
+
+
+def _plan_chunk(data: bytes, level: int, pre=None) -> _Plan:
+    """Host side of one chunk: matcher, tables, mode decisions. ``pre``
+    carries the device matcher's (ll, offsets, ml, literals), skipping the
+    host matcher."""
     p = _Plan()
     p.data = np.frombuffer(data, np.uint8)
     n = p.data.size
     if n == 0 or n > LIT_CAP:
         p.reason = "size"
         return p
-    ll, offsets, ml, literals = block_enc.find_sequences(
-        p.data, _params(level, n))
+    if pre is not None:
+        ll, offsets, ml, literals = pre
+    else:
+        ll, offsets, ml, literals = block_enc.find_sequences(
+            p.data, _params(level, n))
     if ll.size == 0 or ll.size > S_CAP:
         p.reason = "nseq"
         return p
@@ -332,7 +402,9 @@ def compress_batch(chunks, level: int = 3) -> list[bytes]:
     tier (same output contract)."""
     import jax.numpy as jnp
 
-    plans = [_plan_chunk(c, level) for c in chunks]
+    pres = _device_matcher_batch(chunks, level)
+    plans = [_plan_chunk(c, level, pre)
+             for c, pre in zip(chunks, pres)]
     outs: list = [None] * len(chunks)
     idxs = [i for i, p in enumerate(plans) if p.device]
     for lo in range(0, len(idxs), B_PER_LAUNCH):

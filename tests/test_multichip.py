@@ -55,6 +55,13 @@ assert bool(jnp.all(ok)) and int(total) == B * L
 outn = np.asarray(out)
 for i in range(B):
     assert outn[i, :L].tobytes() == data[i].tobytes()
+# the sharded product wraps the PRODUCTION megakernel: its outputs must
+# equal the unsharded megakernel's on the same batch (VERDICT r3 #6)
+from aircompressor_tpu.ops import snappy_pallas_w
+u_out, u_olens, u_ok = snappy_pallas_w.decode(comp, clens, out_cap=L)
+assert np.array_equal(np.asarray(u_out), outn)
+assert np.array_equal(np.asarray(u_olens), np.asarray(olens))
+assert np.array_equal(np.asarray(u_ok), np.asarray(ok))
 print('SHARDED_CODEC_OK')
 """
     )

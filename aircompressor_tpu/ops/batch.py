@@ -337,11 +337,16 @@ class ZstdBatchCodec:
     ops/zstd_jax + ops/zstd_pallas; host parses only headers). Encode: the
     entropy hot loops (4-stream Huffman emission + interleaved reverse FSE
     walk + backward bit packing) run as one batched device program per
-    launch (ops/zstd_encode_jax), bit-identical to the host tier; match
-    finding and table builds stay host-side (VERDICT r2 #6, entropy-first).
-    The encode tier is an XLA program and runs on every backend; it is
-    gated by a one-time per-level self-check and degrades to the host tier
-    (reference contract, internal/NativeLoader.java:104-112)."""
+    launch (ops/zstd_encode_jax); match finding runs on device when the
+    Pallas DFAST matcher's proposals pass host-side content verification,
+    else on host (table builds always host-side; VERDICT r2 #6,
+    entropy-first). With the device matcher off the output is
+    bit-identical to the host tier; with it on, frames remain decodable
+    and size-competitive (every match host-verified, every frame carries
+    the xxh64 checksum). The encode tier is gated by a one-time per-level
+    self-check on a production-size (64KB) mixed payload and degrades to
+    the host tier (reference contract,
+    internal/NativeLoader.java:104-112)."""
 
     def __init__(self, max_chunk: int | None = None, level: int = 3):
         from . import zstd_jax
@@ -360,15 +365,30 @@ class ZstdBatchCodec:
                 from ..zstd import frame_dec
                 from . import zstd_encode_jax
 
-                payload = bytes(np.tile(np.frombuffer(
-                    b"zstd device encode self check 0123456789", np.uint8),
-                    40))
-                frame = zstd_encode_jax.compress_batch(
-                    [payload], self.level)[0]
-                src = np.frombuffer(frame, np.uint8)
-                dst = np.zeros(len(payload) + 16, np.uint8)
-                n = frame_dec.decompress(src, dst)
-                ok = dst[:n].tobytes() == payload
+                # production-size (64KB) mixed payload: repeated text at
+                # varied distances + an incompressible stretch — the
+                # VERDICT r4 finding was that a 1.6KB repetitive canary
+                # green-lit a matcher that corrupted real corpus chunks
+                rng = np.random.default_rng(0xA1C0)
+                words = [rng.integers(32, 127, int(n), dtype=np.uint8)
+                         for n in rng.integers(5, 400, 60)]
+                parts = [words[int(i)]
+                         for i in rng.integers(0, len(words), 400)]
+                parts.append(rng.integers(0, 256, 8192, dtype=np.uint8))
+                payloads = [
+                    np.concatenate(parts).tobytes()[:65536],
+                    bytes(np.tile(np.frombuffer(
+                        b"zstd device encode self check 0123456789",
+                        np.uint8), 40)),
+                ]
+                frames = zstd_encode_jax.compress_batch(
+                    payloads, self.level)
+                ok = True
+                for payload, frame in zip(payloads, frames):
+                    src = np.frombuffer(frame, np.uint8)
+                    dst = np.zeros(len(payload) + 16, np.uint8)
+                    n = frame_dec.decompress(src, dst)
+                    ok = ok and dst[:n].tobytes() == payload
             except Exception:  # noqa: BLE001
                 ok = False
             _KERNEL_OK[key] = ok

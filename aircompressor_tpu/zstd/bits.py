@@ -26,8 +26,12 @@ class BackwardBitReader:
     __slots__ = ("buf", "start", "remaining")
 
     def __init__(self, buf, start: int, end: int):
-        # accept numpy or bytes; bytes is much faster for random scalar access
-        self.buf = buf.tobytes() if isinstance(buf, np.ndarray) else bytes(buf)
+        # accept numpy or bytes. numpy becomes a ZERO-COPY memoryview:
+        # converting with .tobytes() copied the whole backing buffer per
+        # reader — ~60% of zstd device-decode host planning time when the
+        # backing buffer is the flat multi-frame batch (VERDICT r4 #5)
+        self.buf = (buf.data if isinstance(buf, np.ndarray)
+                    else buf if isinstance(buf, bytes) else bytes(buf))
         if end <= start or end > len(self.buf):
             raise MalformedInputException(start, "empty or invalid bitstream")
         self.start = start
@@ -75,7 +79,9 @@ class ForwardBitReader:
     __slots__ = ("buf", "base", "bit_pos", "limit_bits")
 
     def __init__(self, buf, start: int, end: int):
-        self.buf = buf.tobytes() if isinstance(buf, np.ndarray) else bytes(buf)
+        # zero-copy for numpy (see BackwardBitReader.__init__)
+        self.buf = (buf.data if isinstance(buf, np.ndarray)
+                    else buf if isinstance(buf, bytes) else bytes(buf))
         self.base = start
         self.bit_pos = 0
         self.limit_bits = (end - start) * 8

@@ -287,8 +287,10 @@ def device_benchmarks(data: bytes, detail: dict) -> None:
         dt = gated_best(run_z, trials=2, patience_s=120.0)
         detail["zstd_decode_device_GBps"] = raw_bytes / dt / 1e9
 
-        # device ENCODE tier (entropy emission on device, matcher on host;
-        # bit-identical to the host tier so the size story is the host's)
+        # device ENCODE tier (entropy emission on device; the Pallas DFAST
+        # matcher engages only where backend-qualified + host-verified,
+        # else the host matcher — on a disqualified backend the output is
+        # bit-identical to the host tier)
         enc_chunks = all_chunks[:32]
         enc_raw = sum(map(len, enc_chunks))
         _stage("zstd device encode: compiling")
@@ -368,7 +370,9 @@ def device_benchmarks(data: bytes, detail: dict) -> None:
 
 # -------------------------------------------------------------------- host
 def host_baselines(data: bytes, detail: dict) -> None:
-    """Upstream native libraries = the reference's own native tier."""
+    """Upstream native libraries = the reference's own native tier. Both
+    directions are measured, mirroring the reference harness's compress AND
+    decompress ops (benchmark/CompressionBenchmark.java:75-99)."""
     n = len(data)
 
     def lib(name):
@@ -389,6 +393,12 @@ def host_baselines(data: bytes, detail: dict) -> None:
 
         detail["snappy_decode_libsnappy_GBps"] = n / best_of(run) / 1e9
 
+        def run_c():
+            on2 = ctypes.c_size_t(len(out))
+            snappy.snappy_compress(data, n, out, ctypes.byref(on2))
+
+        detail["snappy_encode_libsnappy_GBps"] = n / best_of(run_c, inner=2) / 1e9
+
     lz4 = lib("liblz4.so")
     if lz4:
         lz4.LZ4_compress_default.restype = ctypes.c_int
@@ -403,6 +413,11 @@ def host_baselines(data: bytes, detail: dict) -> None:
             lz4.LZ4_decompress_safe(comp, dec, len(comp), n)
 
         detail["lz4_decode_liblz4_GBps"] = n / best_of(run) / 1e9
+
+        def run_c():
+            lz4.LZ4_compress_default(data, out, n, cap)
+
+        detail["lz4_encode_liblz4_GBps"] = n / best_of(run_c, inner=2) / 1e9
 
     lzo = None
     lzo_path = "/root/reference/src/test/resources/nativelib/Linux-amd64/liblzo2.so"
@@ -432,6 +447,12 @@ def host_baselines(data: bytes, detail: dict) -> None:
 
         detail["lzo_decode_liblzo2_GBps"] = n / best_of(run) / 1e9
 
+        def run_c():
+            on2 = ctypes.c_size_t(cap)
+            lzo.lzo1x_1_compress(data, n, out, ctypes.byref(on2), wrk)
+
+        detail["lzo_encode_liblzo2_GBps"] = n / best_of(run_c, inner=2) / 1e9
+
     zstd = lib("libzstd.so")
     if zstd:
         zstd.ZSTD_compress.restype = ctypes.c_size_t
@@ -447,6 +468,11 @@ def host_baselines(data: bytes, detail: dict) -> None:
             zstd.ZSTD_decompress(dec, n, comp, len(comp))
 
         detail["zstd_decode_libzstd_GBps"] = n / best_of(run, trials=3, inner=2) / 1e9
+
+        def run_c():
+            zstd.ZSTD_compress(out, bound, data, n, 3)
+
+        detail["zstd_encode_libzstd_GBps"] = n / best_of(run_c, trials=3, inner=1) / 1e9
 
     xxh = lib("libxxhash.so")
     if xxh:
@@ -547,6 +573,57 @@ def _probe_pool(timeout_s: float = 120.0) -> None:
         raise PoolUnreachable((e.stderr or b"")[-200:].decode("utf-8", "replace")) from e
 
 
+_PIN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BASELINE_PINNED.json")
+# Host-library rows whose run-to-run variance (±25% observed on liblz4 in
+# r4) would otherwise masquerade as kernel movement. vs_baseline ratios use
+# the PINNED values; each run still records its own measurement alongside
+# (VERDICT r4 #6; reference protocol: 3 forks x 10 iters,
+# benchmark/CompressionBenchmark.java:42-60).
+_PINNABLE = [
+    "snappy_decode_libsnappy_GBps", "snappy_encode_libsnappy_GBps",
+    "lz4_decode_liblz4_GBps", "lz4_encode_liblz4_GBps",
+    "lzo_decode_liblzo2_GBps", "lzo_encode_liblzo2_GBps",
+    "zstd_decode_libzstd_GBps", "zstd_encode_libzstd_GBps",
+    "xxh64_libxxhash_GBps",
+]
+
+
+def _apply_pinned_baselines(detail: dict) -> None:
+    if not os.path.exists(_PIN_PATH):
+        return
+    pins = json.load(open(_PIN_PATH))
+    detail["baseline_pinned_at"] = pins.get("pinned_at")
+    for row, val in pins.get("rows", {}).items():
+        meas = detail.get(row)
+        if meas:
+            detail[row + "_measured"] = meas
+            detail[row + "_pin_deviation"] = round(meas / val - 1.0, 4)
+        detail[row] = val
+
+
+def pin_baselines() -> None:
+    """`python bench.py --pin-baselines`: measure the host-library rows
+    best-of-N and freeze them (with date + corpus hash) as the vs_baseline
+    denominators for subsequent runs."""
+    manifest: dict = {}
+    data = load_corpus(manifest=manifest)
+    rows: dict = {}
+    best: dict = {}
+    for _ in range(3):  # 3 "forks": repeat the whole pass, keep per-row best
+        host_baselines(data, rows)
+        for k in _PINNABLE:
+            if k in rows:
+                best[k] = max(best.get(k, 0.0), rows[k])
+    out = {"pinned_at": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+           "corpus_sha256_16": manifest.get("corpus_sha256_16"),
+           "protocol": "best of 3 whole-pass repetitions x best_of trials",
+           "rows": {k: round(v, 4) for k, v in best.items()}}
+    with open(_PIN_PATH, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
 def main() -> None:
     detail = {"bench_attempt": int(os.environ.get("BENCH_ATTEMPT", "0"))}
     data = load_corpus(manifest=detail)
@@ -561,6 +638,7 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         detail["device_error"] = str(e)[:500]
     host_baselines(data, detail)
+    _apply_pinned_baselines(detail)
     mesh_scaling(detail)
     # explicit device-vs-host-baseline ratios wherever both rows exist
     for codec, base_row in (("snappy", "snappy_decode_libsnappy_GBps"),
@@ -571,6 +649,19 @@ def main() -> None:
         base = detail.get(base_row)
         if ours and base:
             detail[f"{codec}_decode_device_vs_baseline"] = round(ours / base, 4)
+    # encode direction (VERDICT r4 missing #1: the encode half of the
+    # north star needs a denominator)
+    for codec, base_row in (("snappy", "snappy_encode_libsnappy_GBps"),
+                            ("lz4", "lz4_encode_liblz4_GBps"),
+                            ("zstd", "zstd_encode_libzstd_GBps")):
+        ours = detail.get(f"{codec}_encode_device_GBps")
+        base = detail.get(base_row)
+        if ours and base:
+            detail[f"{codec}_encode_device_vs_baseline"] = round(ours / base, 4)
+    ours = detail.get("xxh64_device_GBps")
+    base = detail.get("xxh64_libxxhash_GBps")
+    if ours and base:
+        detail["xxh64_device_vs_baseline"] = round(ours / base, 4)
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(detail, f, indent=2)
     # Headline: device snappy decode (single-launch megakernel, output in
@@ -599,4 +690,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--pin-baselines" in sys.argv:
+        pin_baselines()
+    else:
+        main()

@@ -169,14 +169,7 @@ def test_structured_fuzz_round_trip():
         assert d.decompress(comp, len(data)) == data, trial
 
 
-def test_device_encode_tier_bit_identical_and_oracle_decodable():
-    """ops/zstd_encode_jax: device entropy emission produces byte-identical
-    frames to the host tier (same tables, same emission order) and libzstd
-    decodes them (VERDICT r2 #6 done-criteria)."""
-    import oracles
-    from aircompressor_tpu.ops import zstd_encode_jax as ze
-    from aircompressor_tpu.zstd import frame_enc as fe
-
+def _encode_test_chunks():
     data = open("/root/reference/testdata/urls.10K", "rb").read()
     rng = np.random.default_rng(11)
     chunks = [data[i : i + 65536] for i in range(0, 5 * 65536, 65536)]
@@ -186,11 +179,50 @@ def test_device_encode_tier_bit_identical_and_oracle_decodable():
         bytes(rng.integers(0, 256, 30000, dtype=np.uint8)),  # incompressible
         (b"ab" * 100 + bytes(rng.integers(0, 256, 200, dtype=np.uint8))) * 80,
     ]
+    return chunks
+
+
+def test_device_encode_tier_bit_identical_and_oracle_decodable(monkeypatch):
+    """ops/zstd_encode_jax with the device matcher OFF: device entropy
+    emission produces byte-identical frames to the host tier (same
+    sequences, same tables, same emission order) and libzstd decodes them
+    (VERDICT r2 #6 done-criteria)."""
+    import oracles
+    from aircompressor_tpu.ops import zstd_encode_jax as ze
+    from aircompressor_tpu.zstd import frame_enc as fe
+
+    monkeypatch.setattr(ze, "USE_DEVICE_MATCHER", False)
+    chunks = _encode_test_chunks()
     outs = ze.compress_batch(chunks)
     for i, (c, f) in enumerate(zip(chunks, outs)):
         assert f == fe.compress_bytes(bytes(c)), f"chunk {i} differs from host"
         if oracles.zstd_lib() is not None:
             assert oracles.zstd_decompress(f, len(c)) == c, i
+
+
+def test_device_encode_tier_with_device_matcher(monkeypatch):
+    """ops/zstd_encode_jax with the Pallas DFAST matcher FORCED on (it is
+    dormant by default off-TPU and behind qualification on TPU): every
+    frame must decode bit-exact by our own decoder AND the oracle — the
+    host-side per-match content verification guarantees this even for a
+    divergent kernel — and the aggregate size stays within a few percent
+    of the host tier (the kernel drops the ip+1 long probe; measured
+    ~2.6% on this chunk set — VERDICT r4 #1c contract)."""
+    import oracles
+    from aircompressor_tpu.ops import zstd_encode_jax as ze
+    from aircompressor_tpu.zstd import ZstdRefDecompressor, frame_enc as fe
+
+    monkeypatch.setattr(ze, "USE_DEVICE_MATCHER", True)
+    monkeypatch.setattr(ze, "_FORCE_MATCHER", True)
+    chunks = _encode_test_chunks()
+    outs = ze.compress_batch(chunks)
+    d = ZstdRefDecompressor()
+    for i, (c, f) in enumerate(zip(chunks, outs)):
+        assert d.decompress(f, len(c)) == c, f"chunk {i} own-decode"
+        if oracles.zstd_lib() is not None:
+            assert oracles.zstd_decompress(f, len(c)) == c, i
+    host_total = sum(len(fe.compress_bytes(bytes(c))) for c in chunks)
+    assert sum(len(f) for f in outs) <= host_total * 1.04
 
 
 def test_batch_codec_device_encode_round_trip():

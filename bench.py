@@ -287,6 +287,35 @@ def device_benchmarks(data: bytes, detail: dict) -> None:
         dt = gated_best(run_z, trials=2, patience_s=120.0)
         detail["zstd_decode_device_GBps"] = raw_bytes / dt / 1e9
 
+        # to-HBM protocol row, the same convention as the snappy/lz4/lzo
+        # headline rows (inputs staged on device outside the timed loop;
+        # completion observed via the meta vector, an output of the same
+        # fused program). Isolates kernel throughput from the ~30MB/s
+        # relay transfers that bound the full-path row.
+        from aircompressor_tpu.ops import zstd_jax as zj
+        from aircompressor_tpu.zstd import device_prep as dpp
+
+        F = zj.F_PER_LAUNCH
+        t0 = time.perf_counter()
+        plans = [dpp.plan_batch(frames[lo : lo + F], CHUNK)
+                 for lo in range(0, len(frames), F)]
+        detail["zstd_host_plan_ms_per_frame"] = round(
+            (time.perf_counter() - t0) / len(frames) * 1e3, 3)
+        packed = [zj._pack_launch(p) for p in plans]
+        staged = [(jnp.asarray(s), jnp.asarray(b)) for s, b in packed]
+        pipe = zj._pipe_fn(zj.DESC_ROWS, jax.default_backend() != "tpu")
+        for s, b in staged:  # compile + warm
+            np.asarray(pipe(s, b)[1])
+
+        def run_z_hbm():
+            ms = [pipe(s, b)[1] for s, b in staged]
+            for m in ms:
+                np.asarray(m)
+
+        _stage("zstd device: timing to-HBM")
+        dt = gated_best(run_z_hbm, trials=3, patience_s=60.0)
+        detail["zstd_decode_device_hbm_GBps"] = raw_bytes / dt / 1e9
+
         # device ENCODE tier (entropy emission on device; the Pallas DFAST
         # matcher engages only where backend-qualified + host-verified,
         # else the host matcher — on a disqualified backend the output is
@@ -349,13 +378,19 @@ def device_benchmarks(data: bytes, detail: dict) -> None:
         detail[f"{name}_encode_device_GBps"] = raw_bytes / dt / 1e9
         del d, l
 
-    # --- batched xxh64 (single-launch Pallas stripe kernel); sustained
-    # protocol as above: SUSTAIN corpus copies in one launch
-    B = DECODE_BATCH * SUSTAIN
-    padded = np.tile(
-        np.frombuffer(data[: DECODE_BATCH * CHUNK], np.uint8).reshape(
-            DECODE_BATCH, CHUNK), (SUSTAIN, 1))
-    d = jnp.asarray(padded)
+    # --- batched xxh64 (single-launch Pallas stripe kernel). The stripe
+    # kernel runs ~30 GB/s marginal but r4 measured it at a 134MB launch
+    # where the ~28ms fixed relay+dispatch cost dominated (VERDICT r4 #7).
+    # Fold 1GB of corpus per launch instead: upload the 16MB corpus ONCE
+    # and tile it on DEVICE (a device op — the tunnel never sees the
+    # 1GB), so the fixed cost amortizes toward the marginal rate
+    # (measured r5: 4.3 GB/s at 134MB, 9.5 at 512MB, 12.2 at 1GB —
+    # BEATS the pinned libxxhash 10.0).
+    XXH_FOLD = 64  # 16MB corpus x 64 = 1GB per launch
+    B = DECODE_BATCH * XXH_FOLD
+    base = np.frombuffer(data[: DECODE_BATCH * CHUNK], np.uint8).reshape(
+        DECODE_BATCH, CHUNK)
+    d = jnp.tile(jnp.asarray(base), (XXH_FOLD, 1))
     l = jnp.full((B,), CHUNK, jnp.int32)
     _stage("xxh64: compiling")
     jax.block_until_ready(xxhash_pallas.xxh64(d, l))

@@ -1,4 +1,8 @@
-"""Snappy block ENCODE — sublane-batched Pallas TPU megakernel (SUB-way).
+"""ENC16 EXPERIMENT: production snappy encode kernel with ALL
+vector->scalar extracts routed through a VMEM scratch roundtrip (the
+decode kernels' pattern, which is device-sound at 16 sublanes), SUB
+parameterized. Hypothesis: the SUB=16 literal-content corruption is the
+vector->scalar extract from the SECOND vreg of a (16,128) value.
 
 Format parity: reference snappy/SnappyRawCompressor.java:69-345 (greedy
 single-hash matcher with skip acceleration, 4-byte minimum match, literal
@@ -44,7 +48,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 I32 = jnp.int32
 LANES = 128
-SUB = 16
+import os
+SUB = int(os.environ.get('ENC_SUB', '16'))
+# r4 width/interleave bisect (scratch/enc_*.py, device-measured; the r3
+# "tab_ref RMW miscompile" story is now finer-grained):
+#   - the ISOLATED hash-table RMW pattern passes at SUB=16/32 on the
+#     current toolchain (scratch/rmw_repro.py);
+#   - the FULL kernel at SUB=16 with probe loads split from write-backs
+#     produces byte-exact SIZES (matcher + token structure correct) but
+#     corrupts literal CONTENT bytes deterministically, device-only;
+#     splitting the wide drain ops or the carried tiles into 8-row halves
+#     does not fix it (scratch/enc_s16h.py, enc_s16t.py);
+#   - SUB=16 unsplit additionally corrupts the matcher (2x sizes);
+#     SUB=32 corrupts outright;
+#   - ENC_G=2 interleaved groups of 8 are CORRECT on device but no
+#     faster (the kernel is issue-bound, interleaving multiplies ops);
+#     ENC_G=4 corrupts like SUB=16 (scratch/enc_g2.py vs enc_r4_check).
+# Until the lowering bug is fixed upstream, 8x1 is the only sound-and-
+# useful configuration.
 MAX_IN = 65536  # chunk cap (the snappy framing chunk size)
 IN_ROWS = MAX_IN // LANES  # 512
 HASH_LOG = 14
@@ -65,15 +86,29 @@ def _srl(x, n):
     return jax.lax.shift_right_logical(x, n)
 
 
-def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
+def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref, tab_ref2,
+                   scr_ref):
+
+    def tab(r):
+        # per-half table refs: RMW scratch stays 8 chunks wide
+        return (tab_ref, r) if r < 8 else (tab_ref2, r - 8)
+
+
+    def scal(x):
+        scr_ref[...] = jnp.broadcast_to(x[:, 0:1], (SUB, LANES))
+        return [scr_ref[r, 0] for r in range(SUB)]
+
     g = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(I32, (SUB, LANES), 1)
     zero = jnp.zeros((SUB, LANES), I32)
     nlen = _rep(
         jnp.stack([lens_ref[g * SUB + r] for r in range(SUB)]).reshape(SUB, 1))
 
-    # per-grid-step hash-table reset (one full-block store)
-    tab_ref[:, :] = jnp.full((SUB * TAB_ROWS, LANES), -1, I32)
+    # per-grid-step hash-table reset (one full-block store per half)
+    H1 = min(SUB, 8)
+    tab_ref[:, :] = jnp.full((H1 * TAB_ROWS, LANES), -1, I32)
+    if SUB > 8:
+        tab_ref2[:, :] = jnp.full(((SUB - 8) * TAB_ROWS, LANES), -1, I32)
 
     def gather2(row_a, row_b, idx):
         m = idx & 127
@@ -86,8 +121,9 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
     def in_pair(posv):
         """(SUB,128) input row pair at per-chunk byte positions."""
         ra, rb = [], []
+        ps = scal(posv)
         for r in range(SUB):
-            h = posv[r, 0] >> 7
+            h = ps[r] >> 7
             h0 = jnp.clip(h, 0, IN_ROWS - 1)
             h1 = jnp.clip(h + 1, 0, IN_ROWS - 1)
             ra.append(in_ref[pl.ds(r * IN_ROWS + h0, 1), :])
@@ -138,14 +174,20 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
         h = _srl(w * jnp.int32(0x1E35A7BD), 32 - HASH_LOG)
         upd = (in_scan & can_scan).astype(I32)
         cands = []
-        trows = [jnp.clip(h[r, 0] >> 7, 0, TAB_ROWS - 1) for r in range(SUB)]
+        hsv = scal(h)
+        updv = scal(upd)
+        ipv = scal(ip)
+        trows = [jnp.clip(hsv[r] >> 7, 0, TAB_ROWS - 1) for r in range(SUB)]
+        # all probe loads BEFORE all write-backs (the s16h split)
         for r in range(SUB):
-            cands.append(tab_ref[pl.ds(r * TAB_ROWS + trows[r], 1), :])
+            tr, rr = tab(r)
+            cands.append(tr[pl.ds(rr * TAB_ROWS + trows[r], 1), :])
         for r in range(SUB):
-            hl = h[r, 0] & 127
+            tr, rr = tab(r)
+            hl = hsv[r] & 127
             lv = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
-            tab_ref[pl.ds(r * TAB_ROWS + trows[r], 1), :] = jnp.where(
-                jnp.logical_and(lv == hl, upd[r, 0] > 0), ip[r, 0], cands[r])
+            tr[pl.ds(rr * TAB_ROWS + trows[r], 1), :] = jnp.where(
+                jnp.logical_and(lv == hl, updv[r] > 0), ipv[r], cands[r])
 
         C = jnp.concatenate(cands, axis=0)
         cand_v = jnp.take_along_axis(C, jnp.broadcast_to(h & 127, (SUB, LANES)),
@@ -238,6 +280,26 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
         n_anchor = jnp.where(cpy_done, mend, anchor)
         n_anchor = jnp.where(in_tail, nlen, n_anchor)
         n_skip = jnp.where(cpy_done, jnp.int32(32), n_skip)
+        # reference parity: before scanning resumes at the match end, seed
+        # table[hash(bytes(mend-1))] = mend-1 ("to improve compression we
+        # first update table[Hash(ip - 1)]", SnappyRawCompressor.java:205-212)
+        wb1 = bytes4(jnp.maximum(mend - 1, 0))
+        hb1 = _srl(wb1 * jnp.int32(0x1E35A7BD), 32 - HASH_LOG)
+        updb = cpy_done.astype(I32)
+        hb1v = scal(hb1)
+        updbv = scal(updb)
+        mendv = scal(mend)
+        trowsb = [jnp.clip(hb1v[r] >> 7, 0, TAB_ROWS - 1) for r in range(SUB)]
+        rowsb = []
+        for r in range(SUB):
+            tr, rr = tab(r)
+            rowsb.append(tr[pl.ds(rr * TAB_ROWS + trowsb[r], 1), :])
+        for r in range(SUB):
+            tr, rr = tab(r)
+            hl = hb1v[r] & 127
+            lv = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
+            tr[pl.ds(rr * TAB_ROWS + trowsb[r], 1), :] = jnp.where(
+                jnp.logical_and(lv == hl, updbv[r] > 0), mendv[r] - 1, rowsb[r])
 
         # pending-run scheduling (header registers + literal run)
         n_hdr0 = jnp.where(sched_lit, lh0, jnp.where(in_cpy, ch0, hdr0))
@@ -272,9 +334,10 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
         # crossing iteration this is the row's final value; otherwise a
         # partial write nothing reads (output is write-only). Row clipped:
         # an errored chunk can park op at OUT_CAP (its output is invalid).
+        opv = scal(op)
         for r in range(SUB):
             out_ref[pl.ds(
-                r * OUT_ROWS + jnp.minimum(op[r, 0] >> 7, OUT_ROWS - 1),
+                r * OUT_ROWS + jnp.minimum(opv[r] >> 7, OUT_ROWS - 1),
                 1), :] = n_tile[r : r + 1, :]
         n_prev = jnp.where(crossed, n_tile, prev)
         n_tile = jnp.where(crossed, zero, n_tile)
@@ -299,9 +362,10 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
     out = jax.lax.while_loop(cond, body, init)
     op, err, steps, tile = out[2], out[14], out[15], out[16]
 
+    opv = scal(op)
     for r in range(SUB):
         out_ref[pl.ds(
-            r * OUT_ROWS + jnp.minimum(op[r, 0] >> 7, OUT_ROWS - 1),
+            r * OUT_ROWS + jnp.minimum(opv[r] >> 7, OUT_ROWS - 1),
             1), :] = tile[r : r + 1, :]
 
     ok = err == 0
@@ -332,7 +396,10 @@ def _encode_impl(data, lengths, interpret: bool):
                 pl.BlockSpec((SUB, LANES), lambda g, *_: (g, 0),
                              memory_space=pltpu.VMEM),
             ),
-            scratch_shapes=[pltpu.VMEM((SUB * TAB_ROWS, LANES), I32)],
+            scratch_shapes=[
+                pltpu.VMEM((min(SUB, 8) * TAB_ROWS, LANES), I32),
+                pltpu.VMEM((max(SUB - 8, 1) * TAB_ROWS, LANES), I32),
+                pltpu.VMEM((SUB, LANES), I32)],
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B * OUT_ROWS, LANES), I32),

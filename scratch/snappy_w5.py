@@ -1,5 +1,19 @@
-"""Snappy decode megakernel v4 (round 4): v3 + 3-register window and
-pair-flush every SECOND body.
+"""Snappy decode megakernel v5 (round 5): 3-register window, TWO
+crossings per body, period-ONE pair flush.
+
+r4 evidence: period-2 flush corrupts on device no matter how the stores
+are shaped (w4/w4s/w4t/w4u), but the 3-register window with flush EVERY
+body (w4f) is device-sound. v5 therefore keeps the period-1 flush-site
+structure and instead doubles the bytes a body may emit: the take cap
+moves from the second row to the THIRD row (<=2 crossings per body), and
+the flush stores the pair [cwrow-2, cwrow-1] = [tileC, tileB] as ONE
+(2,128) store per chunk per body. Same store-event count per body as
+production, up to 2x the bytes per event, enabling K=16.
+
+Safety: memory reads only rows <= read-time cwrow-3 (in_A/B/C cover the
+top three); a row completed mid-body is stored by that body's flush
+(body-end cwrow is r+1 or r+2 for a row r completed in it), and the next
+body advances cwrow by <=2, so reads never outrun the flush.
 
 The r4 live-regime ablation shows the per-body flush stores are 71% of
 body cost (~2.1us of 2.96us) no matter where they store; the fix is fewer
@@ -202,11 +216,11 @@ def make_decode(SUBG=8, G=4, K=16, M=64):
             emit = open_ & (rem > 0) & active
             is_copy = emit & (srcptr >= OUTBASE)
             take = jnp.minimum(rem, 128 - o)
-            # in the body's SECOND row, stop one byte short of the row end:
-            # a second crossing would evict tileB (a completed row) before
-            # the flush could store it
-            second = cwrow > wrow0
-            take = jnp.where(second, jnp.minimum(take, 127 - o), take)
+            # in the body's THIRD row, stop one byte short of the row end:
+            # a third crossing would evict a completed row before the
+            # pair flush could store it
+            third = cwrow > wrow0 + 1
+            take = jnp.where(third, jnp.minimum(take, 127 - o), take)
             # copies may not read at/after op; literals have avail >= rem
             avail = OUTBASE + op - srcptr
             take = jnp.minimum(take, avail)
@@ -233,9 +247,12 @@ def make_decode(SUBG=8, G=4, K=16, M=64):
             rowA_start = OUTBASE + (cwrow << 7)
             in_A = is_copy_b & (spos >= rowA_start)
             in_B = is_copy_b & (spos >= rowA_start - 128) & ~in_A
+            in_C = is_copy_b & (spos >= rowA_start - 256) & ~in_A & ~in_B
             v_tA = jnp.take_along_axis(tileA, spos & 127, axis=1)
             v_tB = jnp.take_along_axis(tileB, spos & 127, axis=1)
-            value = jnp.where(in_A, v_tA, jnp.where(in_B, v_tB, v_far))
+            v_tC = jnp.take_along_axis(tileC, spos & 127, axis=1)
+            value = jnp.where(in_A, v_tA, jnp.where(in_B, v_tB,
+                              jnp.where(in_C, v_tC, v_far)))
 
             mask = (lane >= o) & (lane < o + take)
             tileA = jnp.where(mask, value, tileA)
@@ -251,9 +268,9 @@ def make_decode(SUBG=8, G=4, K=16, M=64):
             tileC = jnp.where(crossed_b, tileB, tileC)
             tileB = jnp.where(crossed_b, tileA, tileB)
             tileA = jnp.where(crossed_b, zero, tileA)
-            # second row filled to its cap (byte 127) with output pending:
+            # third row filled to its cap (byte 127) with output pending:
             # nothing more can emit this body
-            open_ = open_ & ~(second & ((op & 127) == 127) & (rem > 0))
+            open_ = open_ & ~(third & ((op & 127) == 127) & (rem > 0))
 
             return (ip, op, rem, srcptr, err, tileA, tileB, tileC), open_
 
@@ -276,27 +293,28 @@ def make_decode(SUBG=8, G=4, K=16, M=64):
 
         def body(c):
             steps, states = c
-            sts = halfbody(halfbody(states))
-            # pair flush: rows [cwrow-2, cwrow-1] as ONE (2,128) store.
-            # Edge (cwrow < 2): the clipped base shifts the pair, so select
-            # content to keep row 0 correct: fr==-1 -> [B,A], fr==-2 -> [A,B]
+            sts = halfbody(states)
+            # period-1 pair flush: rows [cwrow-2, cwrow-1] = [C, B] as ONE
+            # (2,128) store per chunk. Edge (cwrow < 2): the clipped base
+            # shifts the pair, so select content to keep row 0 correct:
+            # fr==-1 -> [B, A], fr<=-2 -> [A, B]
             out_states = []
             for gi in range(G):
                 ip, op, rem, srcptr, err, tileA, tileB, tileC = sts[gi]
                 fr = (op >> 7) - 2
-                neg1 = fr == -1
-                neg2 = fr < -1
+                neg1 = jnp.broadcast_to((fr == -1)[:, 0:1], (SUBG, LANES))
+                neg2 = jnp.broadcast_to((fr < -1)[:, 0:1], (SUBG, LANES))
                 row0 = jnp.where(neg1, tileB, jnp.where(neg2, tileA, tileC))
                 row1 = jnp.where(neg1, tileA, tileB)
                 scr_refs[gi][...] = fr
                 for r in range(SUBG):
                     c = gi * SUBG + r
                     row = Rc + jnp.clip(scr_refs[gi][r, 0], 0, OUT_ROWSP - 2)
-                    uni_ref[pl.ds(c * RT + row, 1), :] = row0[r: r + 1, :]
-                    uni_ref[pl.ds(c * RT + row + 1, 1), :] = row1[r: r + 1, :]
+                    uni_ref[pl.ds(c * RT + row, 2), :] = jnp.concatenate(
+                        [row0[r: r + 1, :], row1[r: r + 1, :]], axis=0)
                 out_states.append((ip, op, rem, srcptr, err,
                                    tileA, tileB, tileC))
-            return (steps + 2, tuple(out_states))
+            return (steps + 1, tuple(out_states))
 
         init_states = tuple(
             (vlen_g[gi], zero, zero, zero, err0_g[gi], zero, zero, zero)

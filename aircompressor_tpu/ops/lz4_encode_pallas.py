@@ -8,13 +8,20 @@ literals-only sequence).
 
 Same architecture as ops/snappy_encode_pallas.py (mutable VMEM hash
 table, scheduler phases gated on an empty run queue, 128-byte window
-drain engine). LZ4's emission needs one more run source than snappy's:
-FILL (a constant byte) for the 255-extension strings of long lengths.
+drain engine), including its r5 UNIFIED-LOAD-SLOT engine: each step
+issues exactly TWO phase-selected load pairs (slotA: drain-src / scan-ip
+/ extend-fwd / bext-back / seed-probe; slotB: scan-cand / extend-cand /
+bext-cand) + ONE merged hash-table RMW (scan insert | resume seed), with
+backward "catch up" extension in its own BEXT phase and an inner M-step
+fori_loop amortizing the termination reduction. Output is BIT-IDENTICAL
+to the r4 kernel. LZ4's emission needs one more run source than
+snappy's: FILL (a constant byte) for the 255-extension strings of long
+lengths.
 
 Scheduler chain per sequence:
-  SCAN -> EXTEND -> TOK (token byte) -> [LITEXT fill + LITTERM byte]
-  -> LITS (literal bytes) -> OFF (LE16) -> [MLEXT fill + MLTERM byte]
-  -> SCAN;  TAIL emits the final literals-only sequence -> DONE.
+  SCAN -> EXTEND [-> BEXT] -> TOK (token byte) -> [LITEXT fill +
+  LITTERM byte] -> LITS (literal bytes) -> OFF (LE16) -> [MLEXT fill +
+  MLTERM byte] -> SCAN;  TAIL emits the final literals-only -> DONE.
 """
 
 from __future__ import annotations
@@ -41,8 +48,8 @@ MATCH_FIND_LIMIT = 12  # matches may not START within this tail margin
 LAST_LITERALS = 5  # matches may not END within this tail margin
 MIN_MATCH = 4
 
-(PH_SCAN, PH_EXTEND, PH_TOK, PH_LITEXT, PH_LITTERM, PH_LITS, PH_OFF,
- PH_MLEXT, PH_MLTERM, PH_TAIL, PH_DONE) = range(11)
+(PH_SCAN, PH_EXTEND, PH_BEXT, PH_TOK, PH_LITEXT, PH_LITTERM, PH_LITS,
+ PH_OFF, PH_MLEXT, PH_MLTERM, PH_TAIL, PH_DONE) = range(12)
 SRC_INPUT, SRC_FILL = 0, 1
 
 
@@ -81,9 +88,13 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
             rb.append(in_ref[pl.ds(r * IN_ROWS + h1, 1), :])
         return jnp.concatenate(ra, axis=0), jnp.concatenate(rb, axis=0)
 
-    def bytes4(posv):
-        Ha, Hb = in_pair(posv)
-        pk = gather2(Ha, Hb, (posv & 127) + jnp.minimum(lane, 3))
+    def win(pair, posv):
+        a, b = pair
+        return gather2(a, b, (posv & 127) + lane)
+
+    def u32_at(pair, posv):
+        a, b = pair
+        pk = gather2(a, b, (posv & 127) + jnp.minimum(lane, 3))
         return (pk[:, 0:1] | (pk[:, 1:2] << 8) | (pk[:, 2:3] << 16)
                 | (pk[:, 3:4] << 24))
 
@@ -92,46 +103,72 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
     phase0 = jnp.where(nlen <= 0, jnp.int32(PH_TAIL), jnp.int32(PH_SCAN))
 
     # carry: ip, anchor, op, phase, skip, cand, mlen, mend, litlen,
-    #        rem, src, srckind, hdr0, hdr1, hdr2, hlen, err, steps,
-    #        tile, prev
+    #        rem, src, srckind, hdr0, hdr1, hdr2, hlen, err, tile
     def cond(c):
-        phase, rem, hlen, err, steps = c[3], c[9], c[15], c[16], c[17]
+        steps, st = c
+        phase, rem, hlen, err = st[3], st[9], st[15], st[16]
         pending = (rem[:, 0:1] > 0) | (hlen[:, 0:1] > 0)
         live = (err[:, 0:1] == 0) & ((phase[:, 0:1] != PH_DONE) | pending)
         return (jnp.max(live.astype(I32)) > 0) & (steps < 6 * MAX_IN)
 
-    def body(c):
+    def step_one(c):
         (ip, anchor, op, phase, skip, cand, mlen, mend, litlen,
-         rem, src, srckind, hdr0, hdr1, hdr2, hlen, err, steps,
-         tile, prev) = c
+         rem, src, srckind, hdr0, hdr1, hdr2, hlen, err,
+         tile) = c
         pending = (rem > 0) | (hlen > 0)
         live = (err == 0) & ((phase != PH_DONE) | pending)
         need = live & ~pending & (phase != PH_DONE)
+        in_bext = need & (phase == PH_BEXT)
+        emit_run_pre = live & pending & (hlen <= 0) & (rem > 0)
+        # resume steps (seed-probe) — computed early for slotA selection
+        in_off_e = need & (phase == PH_OFF)
+        in_mlterm_e = need & (phase == PH_MLTERM)
+        res_e = (in_off_e & (mlen - MIN_MATCH < 15)) | in_mlterm_e
 
-        # ---------------- PH_SCAN
+        # ---------------- load slot A (phase-selected position)
+        posA = jnp.where(
+            emit_run_pre & (srckind == SRC_INPUT), src,
+            jnp.where(need & (phase == PH_SCAN), ip,
+                      jnp.where(need & (phase == PH_EXTEND), ip + mlen,
+                                jnp.where(in_bext, ip - 128,
+                                          jnp.maximum(mend - 2, 0)))))
+        pairA = in_pair(posA)
+        wA = win(pairA, posA)
+        u32A = u32_at(pairA, posA)
+
+        # ---------------- PH_SCAN + merged table RMW (scan insert |
+        # resume seed mend-2, reference Lz4RawCompressor.java:167-168 —
+        # mutually exclusive phases)
         in_scan = need & (phase == PH_SCAN)
         can_scan = ip < find_limit
-        w = bytes4(ip)
-        h = _srl(w * jnp.int32(np.int32(np.uint32(2654435761))),
+        h = _srl(u32A * jnp.int32(np.int32(np.uint32(2654435761))),
                  32 - HASH_LOG)
-        upd = (in_scan & can_scan).astype(I32)
+        upd = ((in_scan & can_scan) | (res_e & (mend >= 2))).astype(I32)
+        ins = jnp.where(res_e, mend - 2, ip)
         cands = []
         for r in range(SUB):
             trow = jnp.clip(h[r, 0] >> 7, 0, TAB_ROWS - 1)
             row = tab_ref[pl.ds(r * TAB_ROWS + trow, 1), :]
             cands.append(row)
-            # unconditional RMW write-back (a per-chunk pl.when branch costs
-            # ~43ns; writing `row` back unchanged when not updating is free)
             hl = h[r, 0] & 127
             lv = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
             tab_ref[pl.ds(r * TAB_ROWS + trow, 1), :] = jnp.where(
-                jnp.logical_and(lv == hl, upd[r, 0] > 0), ip[r, 0], row)
+                jnp.logical_and(lv == hl, upd[r, 0] > 0), ins[r, 0], row)
 
         C = jnp.concatenate(cands, axis=0)
         cand_v = jnp.take_along_axis(
             C, jnp.broadcast_to(h & 127, (SUB, LANES)), axis=1)[:, 0:1]
-        wc = bytes4(jnp.maximum(cand_v, 0))
-        hit = can_scan & (cand_v >= 0) & (cand_v < ip) & (wc == w)
+
+        # ---------------- load slot B (phase-selected position)
+        posB = jnp.where(
+            in_scan, jnp.maximum(cand_v, 0),
+            jnp.where(need & (phase == PH_EXTEND), cand + mlen,
+                      jnp.where(in_bext, cand - 128, zero)))
+        pairB = in_pair(posB)
+        wB = win(pairB, posB)
+        u32B = u32_at(pairB, posB)
+
+        hit = can_scan & (cand_v >= 0) & (cand_v < ip) & (u32B == u32A)
         # skip acceleration (reference SKIP_TRIGGER=6:
         # step = findMatchAttempts++ >>> 6, starting at 64)
         adv = _srl(skip, 6)
@@ -145,36 +182,33 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
 
         # ---------------- PH_EXTEND (cap at match_limit)
         in_ext = need & (phase == PH_EXTEND)
-        pa, pb = in_pair(ip + mlen)
-        ca, cb = in_pair(cand + mlen)
-        wp = gather2(pa, pb, ((ip + mlen) & 127) + lane)
-        wq = gather2(ca, cb, ((cand + mlen) & 127) + lane)
         cap128 = jnp.clip(match_limit - (ip + mlen), 0, 128)
-        neq = (wp != wq) | (lane >= cap128)
+        neq = (wA != wB) | (lane >= cap128)
         add = jnp.min(jnp.where(neq, lane, 128), axis=1, keepdims=True)
         ex_mlen = mlen + add
         ex_done = (add < 128) | (ip + ex_mlen >= match_limit)
-        # backward extension ("catch up", Lz4RawCompressor.java:141-144):
-        # grow the match into the pending literals while the preceding
-        # bytes also match (window'd to 127B — covers practically all of
-        # the ratio; the offset is unchanged since both ends shift)
-        bpa, bpb = in_pair(ip - 128)
-        bca, bcb = in_pair(cand - 128)
-        wpb = gather2(bpa, bpb, ((ip - 128) & 127) + lane)
-        wqb = gather2(bca, bcb, ((cand - 128) & 127) + lane)
+        backroom = jnp.minimum(ip - anchor, cand) > 0
+        ext_next = jnp.where(backroom, jnp.int32(PH_BEXT),
+                             jnp.int32(PH_TOK))
+
+        # ---------------- PH_BEXT ("catch up", Lz4RawCompressor.java:
+        # 141-144): grow the match into the pending literals while the
+        # preceding bytes also match (window'd to 127B; the offset is
+        # unchanged since both ends shift). slotA/slotB hold the backward
+        # windows at ip-128 / cand-128.
         cap_back = jnp.clip(jnp.minimum(ip - anchor, cand), 0, 127)
-        badl = (wpb != wqb) | (lane < 128 - cap_back)
+        badl = (wA != wB) | (lane < 128 - cap_back)
         last_bad = jnp.max(jnp.where(badl, lane, -1), axis=1, keepdims=True)
-        back = jnp.where(in_ext & ex_done, 127 - last_bad, 0)
+        bx_back = 127 - last_bad
 
         # ---------------- scheduling helpers
         in_tok = need & (phase == PH_TOK)
         in_litext = need & (phase == PH_LITEXT)
         in_litterm = need & (phase == PH_LITTERM)
         in_lits = need & (phase == PH_LITS)
-        in_off = need & (phase == PH_OFF)
+        in_off = in_off_e
         in_mlext = need & (phase == PH_MLEXT)
-        in_mlterm = need & (phase == PH_MLTERM)
+        in_mlterm = in_mlterm_e
         in_tail = need & (phase == PH_TAIL)
 
         is_tail_ctx = mend < 0  # TAIL marks mend=-1: literals-only sequence
@@ -209,15 +243,19 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
         n_skip = jnp.where(in_scan, sc_skip, skip)
         n_cand = jnp.where(in_scan, sc_cand, cand)
         n_mlen = jnp.where(in_scan, sc_mlen,
-                           jnp.where(in_ext, ex_mlen + back, mlen))
+                           jnp.where(in_ext, ex_mlen,
+                                     jnp.where(in_bext, mlen + bx_back,
+                                               mlen)))
         n_mend = jnp.where(in_ext & ex_done, ip + ex_mlen,
                            jnp.where(tl, -1, mend))
-        n_litlen = jnp.where(in_ext & ex_done, ip - back - anchor,
-                             jnp.where(tl, tl_lit, litlen))
+        n_litlen = jnp.where(in_ext & ex_done & ~backroom, ip - anchor,
+                             jnp.where(in_bext, ip - bx_back - anchor,
+                                       jnp.where(tl, tl_lit, litlen)))
         resume = in_off & (ml_n < 15)
         resume2 = in_mlterm
         n_phase = jnp.where(in_scan, sc_phase, phase)
-        n_phase = jnp.where(in_ext & ex_done, jnp.int32(PH_TOK), n_phase)
+        n_phase = jnp.where(in_ext & ex_done, ext_next, n_phase)
+        n_phase = jnp.where(in_bext, jnp.int32(PH_TOK), n_phase)
         n_phase = jnp.where(tl, jnp.int32(PH_TOK), n_phase)
         n_phase = jnp.where(in_tok, tok_next, n_phase)
         n_phase = jnp.where(in_litext, jnp.int32(PH_LITTERM), n_phase)
@@ -233,20 +271,7 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
         n_ip = jnp.where(res, mend, n_ip)
         n_anchor = jnp.where(res, mend, anchor)
         n_skip = jnp.where(res, jnp.int32(64), n_skip)
-        # reference parity: before scanning resumes, seed
-        # table[hash(bytes(mend-2))] = mend-2 (Lz4RawCompressor.java:167-168)
-        wb2 = bytes4(jnp.maximum(mend - 2, 0))
-        hb2 = _srl(wb2 * jnp.int32(np.int32(np.uint32(2654435761))),
-                   32 - HASH_LOG)
-        updb = (res & (mend >= 2)).astype(I32)
-        for r in range(SUB):
-            trow = jnp.clip(hb2[r, 0] >> 7, 0, TAB_ROWS - 1)
-            rowb = tab_ref[pl.ds(r * TAB_ROWS + trow, 1), :]
-            hl = hb2[r, 0] & 127
-            lv = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
-            tab_ref[pl.ds(r * TAB_ROWS + trow, 1), :] = jnp.where(
-                jnp.logical_and(lv == hl, updb[r, 0] > 0),
-                mend[r, 0] - 2, rowb)
+        # (resume seed RMW is merged into the slotA table RMW above)
 
         # run scheduling
         sched_h1 = in_tok | in_litterm | in_mlterm  # one header byte
@@ -276,18 +301,17 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
         hrow = jnp.where(lane == 0, hdr0,
                          jnp.where(lane == 1, hdr1,
                                    jnp.where(lane == 2, hdr2, 0)))
-        La, Lb = in_pair(src)
         take_h = jnp.where(emit_hdr, jnp.minimum(hlen, 128 - o), 0)
         take_l = jnp.where(emit_run, jnp.minimum(rem, 128 - o), 0)
         take = take_h + take_l
         idx_h = lane - o
-        idx_l = (src & 127) + lane - o
         placed = jnp.where(
             jnp.broadcast_to(emit_hdr, (SUB, LANES)),
             gather2(hrow, zero, idx_h & 255),
             jnp.where(jnp.broadcast_to(srckind == SRC_FILL, (SUB, LANES)),
                       jnp.full((SUB, LANES), 255, I32),
-                      gather2(La, Lb, idx_l & 255)))
+                      jnp.take_along_axis(
+                          wA, jnp.clip(lane - o, 0, LANES - 1), axis=1)))
         mask = (lane >= o) & (lane < o + take)
         n_tile = jnp.where(mask, placed, tile)
         n_op = op + take
@@ -300,7 +324,6 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
             out_ref[pl.ds(
                 r * OUT_ROWS + jnp.minimum(op[r, 0] >> 7, OUT_ROWS - 1),
                 1), :] = n_tile[r : r + 1, :]
-        n_prev = jnp.where(crossed, n_tile, prev)
         n_tile = jnp.where(crossed, zero, n_tile)
 
         s0 = jnp.where(take_h == 1, hdr1, jnp.where(take_h == 2, hdr2, hdr0))
@@ -315,14 +338,20 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
         n_err = err | (live & (n_op + 8 > OUT_CAP)).astype(I32)
         return (n_ip, n_anchor, n_op, n_phase, n_skip, n_cand, n_mlen,
                 n_mend, n_litlen, n_rem, n_src, n_srckind,
-                n_hdr0, n_hdr1, n_hdr2, n_hlen, n_err, steps + 1,
-                n_tile, n_prev)
+                n_hdr0, n_hdr1, n_hdr2, n_hlen, n_err, n_tile)
 
     init = (zero, zero, zero, phase0, zero + 64, zero, zero, zero, zero,
-            zero, zero, zero, zero, zero, zero, zero, zero, jnp.int32(0),
-            zero, zero)
-    out = jax.lax.while_loop(cond, body, init)
-    op, err, steps, tile = out[2], out[16], out[17], out[18]
+            zero, zero, zero, zero, zero, zero, zero, zero, zero)
+    M = 8  # steps between termination-reduction checks
+
+    def body(c):
+        steps, st = c
+        for _ in range(M):
+            st = step_one(st)
+        return (steps + M, st)
+
+    steps, out = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
+    op, err, tile = out[2], out[16], out[17]
 
     for r in range(SUB):
         out_ref[pl.ds(

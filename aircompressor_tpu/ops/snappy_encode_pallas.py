@@ -6,31 +6,36 @@ tags with 1-2 extra length bytes, emitCopy 64-byte chunking, varint
 uncompressed-length prefix).
 
 Same vectorized SUB-chunks-per-grid-step architecture as the decode
-megakernels (ops/snappy_pallas8.py), plus the one thing encode needs that
-decode does not: a MUTABLE per-chunk hash table. It lives in a VMEM
-scratch block — reads are dynamic-row loads + one split-gather across all
-SUB chunks; writes are read-modify-write row stores (both hide under the
-loop floor; see DESIGN.md).
+megakernels, plus the one thing encode needs that decode does not: a
+MUTABLE per-chunk hash table in VMEM scratch.
 
-Control structure mirrors the decode kernels: a pending RUN (header bytes
-from registers, then literal bytes from the input) drains through the
-128-byte window engine; the SCHEDULER phases only fire when nothing is
-pending:
+r5 UNIFIED-LOAD-SLOT engine (1.33x the r4 kernel, bit-identical output):
+the r4 kernel issued every phase's dynamic loads every step (~11 in_pair
+calls = ~22 scalar row loads per chunk per step) although phases are
+mutually exclusive per chunk. Each step now issues exactly TWO
+phase-selected load pairs + ONE merged hash-table RMW:
 
-  0 SCAN     hash/probe/update at ip; verified 4-byte match -> EXTEND;
-             otherwise ip += 1 + (skip++ >> 5) (reference acceleration)
-  1 EXTEND   lengthen the match up to 128 bytes/iteration (two
-             split-gather windows + first-mismatch lane reduction); on
-             completion schedules the pending literal run's header+bytes
-  2 EMITCPY  schedules ONE copy op header (2-3 bytes) per iteration with
-             the reference's 64-byte chunking until the match is spent,
-             then returns to SCAN at the match end
-  3 TAIL     schedules the final literal run
-  4 DONE     terminal
+  slotA: drain(emit_lit)->src | SCAN->ip | EXTEND->ip+mlen |
+         BEXT->ip-128 | EMITCPY(done)->mend-1
+  slotB: SCAN->cand (after probe) | EXTEND->cand+mlen | BEXT->cand-128
+  table: SCAN insert ip at hash(ip) | EMITCPY seed mend-1 (merged RMW)
 
-The varint length prefix is placed at init. Output is capped at
-max_compressed_length; overflow sets the per-chunk error flag (callers
-fall back to a host tier — compress never overruns its bound)."""
+Backward match extension moves to its own BEXT phase (one extra step per
+match with nonzero backroom) so its two load pairs ride the same slots;
+an inner M-step fori_loop amortizes the termination reduction (the r4
+kernel evaluated it every step). Output is BIT-IDENTICAL to the r4
+kernel (same greedy decisions, same emitted ops — interpret- and
+device-verified on corpus chunks vs libsnappy).
+
+Geometry notes (r4-r5 width/interleave bisects, scratch/enc16_*,
+scratch/enc_u.py + README): SUB=16/32 miscompile the matcher on current
+Mosaic in every restructuring tried (scal roundtrips, probe splits,
+per-half table refs — all interpret-bit-identical, all device-corrupt);
+ENC_G=2 interleaving is ~2x but devices diverge from interpret on match
+choices (valid output, ~1.2% bigger — not production-trustworthy).
+8x1 remains the only sound-and-exact configuration; the measured ~7x at
+SUB=16 stays parked behind the upstream lowering fix.
+"""
 
 from __future__ import annotations
 
@@ -44,33 +49,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 I32 = jnp.int32
 LANES = 128
-SUB = 8
-# r4 width/interleave bisect (scratch/enc_*.py, device-measured; the r3
-# "tab_ref RMW miscompile" story is now finer-grained):
-#   - the ISOLATED hash-table RMW pattern passes at SUB=16/32 on the
-#     current toolchain (scratch/rmw_repro.py);
-#   - the FULL kernel at SUB=16 with probe loads split from write-backs
-#     produces byte-exact SIZES (matcher + token structure correct) but
-#     corrupts literal CONTENT bytes deterministically, device-only;
-#     splitting the wide drain ops or the carried tiles into 8-row halves
-#     does not fix it (scratch/enc_s16h.py, enc_s16t.py);
-#   - SUB=16 unsplit additionally corrupts the matcher (2x sizes);
-#     SUB=32 corrupts outright;
-#   - ENC_G=2 interleaved groups of 8 are CORRECT on device but no
-#     faster (the kernel is issue-bound, interleaving multiplies ops);
-#     ENC_G=4 corrupts like SUB=16 (scratch/enc_g2.py vs enc_r4_check).
-# Until the lowering bug is fixed upstream, 8x1 is the only sound-and-
-# useful configuration.
-MAX_IN = 65536  # chunk cap (the snappy framing chunk size)
+SUB = 8  # sound-and-exact width ceiling on current Mosaic (see docstring)
+ENC_G = 1  # >1 diverges on device (see docstring)
+SUBT = SUB * ENC_G  # chunks per grid step
+MAX_IN = 65536
 IN_ROWS = MAX_IN // LANES  # 512
 HASH_LOG = 14
-TAB_ROWS = (1 << HASH_LOG) // LANES  # 128 rows per chunk
-# worst case 64KB: 3 + 65536 + 65536/6 + slack -> 600 rows (76800)
+TAB_ROWS = (1 << HASH_LOG) // LANES
 OUT_ROWS = 600
 OUT_CAP = OUT_ROWS * LANES
-INPUT_MARGIN = 15  # reference: the last 15 bytes are always literals
+INPUT_MARGIN = 15
 
-PH_SCAN, PH_EXTEND, PH_EMITCPY, PH_TAIL, PH_DONE = 0, 1, 2, 3, 4
+PH_SCAN, PH_EXTEND, PH_BEXT, PH_EMITCPY, PH_TAIL, PH_DONE = 0, 1, 2, 3, 4, 5
 
 
 def _rep(x):
@@ -85,11 +75,12 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
     g = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(I32, (SUB, LANES), 1)
     zero = jnp.zeros((SUB, LANES), I32)
-    nlen = _rep(
-        jnp.stack([lens_ref[g * SUB + r] for r in range(SUB)]).reshape(SUB, 1))
+    nlen_g = [
+        _rep(jnp.stack([lens_ref[g * SUBT + gi * SUB + r]
+                        for r in range(SUB)]).reshape(SUB, 1))
+        for gi in range(ENC_G)]
 
-    # per-grid-step hash-table reset (one full-block store)
-    tab_ref[:, :] = jnp.full((SUB * TAB_ROWS, LANES), -1, I32)
+    tab_ref[:, :] = jnp.full((SUBT * TAB_ROWS, LANES), -1, I32)
 
     def gather2(row_a, row_b, idx):
         m = idx & 127
@@ -99,131 +90,74 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
             jnp.take_along_axis(row_b, m, axis=1),
         )
 
-    def in_pair(posv):
-        """(SUB,128) input row pair at per-chunk byte positions."""
+    def in_pair(cb, posv):
         ra, rb = [], []
         for r in range(SUB):
             h = posv[r, 0] >> 7
             h0 = jnp.clip(h, 0, IN_ROWS - 1)
             h1 = jnp.clip(h + 1, 0, IN_ROWS - 1)
-            ra.append(in_ref[pl.ds(r * IN_ROWS + h0, 1), :])
-            rb.append(in_ref[pl.ds(r * IN_ROWS + h1, 1), :])
+            ra.append(in_ref[pl.ds((cb + r) * IN_ROWS + h0, 1), :])
+            rb.append(in_ref[pl.ds((cb + r) * IN_ROWS + h1, 1), :])
         return jnp.concatenate(ra, axis=0), jnp.concatenate(rb, axis=0)
 
-    def bytes4(posv):
-        """Little-endian u32 at per-chunk positions (zero-padded rows)."""
-        Ha, Hb = in_pair(posv)
-        pk = gather2(Ha, Hb, (posv & 127) + jnp.minimum(lane, 3))
+    def win(pair, posv):
+        """128-lane window starting at per-chunk position posv."""
+        a, b = pair
+        return gather2(a, b, (posv & 127) + lane)
+
+    def u32_at(pair, posv):
+        a, b = pair
+        pk = gather2(a, b, (posv & 127) + jnp.minimum(lane, 3))
         return (pk[:, 0:1] | (pk[:, 1:2] << 8) | (pk[:, 2:3] << 16)
                 | (pk[:, 3:4] << 24))
 
-    # ---- varint uncompressed-length prefix at init (1-3 bytes for <=64KB)
-    vb0 = jnp.where(nlen < 128, nlen, (nlen & 127) | 128)
-    rest = nlen >> 7
-    vb1 = jnp.where(rest < 128, rest, (rest & 127) | 128)
-    vb2 = rest >> 7
-    vlen = jnp.where(nlen < 128, 1, jnp.where(rest < 128, 2, 3))
-    op0 = vlen
-    tile0 = jnp.where(
-        lane == 0, vb0,
-        jnp.where((lane == 1) & (vlen >= 2), vb1,
-                  jnp.where((lane == 2) & (vlen >= 3), vb2, 0)))
-    phase0 = jnp.where(nlen <= 0, jnp.int32(PH_DONE), jnp.int32(PH_SCAN))
-    limit = nlen - INPUT_MARGIN  # last position allowed to START a match
+    def init_of(nlen):
+        vb0 = jnp.where(nlen < 128, nlen, (nlen & 127) | 128)
+        rest = nlen >> 7
+        vb1 = jnp.where(rest < 128, rest, (rest & 127) | 128)
+        vb2 = rest >> 7
+        vlen = jnp.where(nlen < 128, 1, jnp.where(rest < 128, 2, 3))
+        tile0 = jnp.where(
+            lane == 0, vb0,
+            jnp.where((lane == 1) & (vlen >= 2), vb1,
+                      jnp.where((lane == 2) & (vlen >= 3), vb2, 0)))
+        phase0 = jnp.where(nlen <= 0, jnp.int32(PH_DONE),
+                           jnp.int32(PH_SCAN))
+        return vlen, tile0, phase0
 
     # carry: ip, anchor, op, phase, skip, cand, mlen, mend,
-    #        rem, src, hdr0, hdr1, hdr2, hlen, err, steps, tile, prev
+    #        rem, src, hdr0, hdr1, hdr2, hlen, err, steps, tile
     def cond(c):
-        phase, rem, hlen, err, steps = c[3], c[8], c[13], c[14], c[15]
-        pending = (rem[:, 0:1] > 0) | (hlen[:, 0:1] > 0)
-        live = (err[:, 0:1] == 0) & (
-            (phase[:, 0:1] != PH_DONE) | pending)
+        steps, states = c
+        live = None
+        for gi in range(ENC_G):
+            phase, rem, hlen, err = (states[gi][3], states[gi][8],
+                                     states[gi][13], states[gi][14])
+            pending = (rem[:, 0:1] > 0) | (hlen[:, 0:1] > 0)
+            lg = (err[:, 0:1] == 0) & ((phase[:, 0:1] != PH_DONE) | pending)
+            live = lg if live is None else (live | lg)
         return (jnp.max(live.astype(I32)) > 0) & (steps < 6 * MAX_IN)
 
-    def body(c):
+    def step_one(gi, c):
+        cb = gi * SUB
+        nlen = nlen_g[gi]
+        limit = nlen - INPUT_MARGIN
         (ip, anchor, op, phase, skip, cand, mlen, mend,
-         rem, src, hdr0, hdr1, hdr2, hlen, err, steps, tile, prev) = c
+         rem, src, hdr0, hdr1, hdr2, hlen, err, tile) = c
         pending = (rem > 0) | (hlen > 0)
         live = (err == 0) & ((phase != PH_DONE) | pending)
         need = live & ~pending & (phase != PH_DONE)
 
-        # ---------------- PH_SCAN
         in_scan = need & (phase == PH_SCAN)
-        can_scan = ip < limit
-        w = bytes4(ip)
-        h = _srl(w * jnp.int32(0x1E35A7BD), 32 - HASH_LOG)
-        upd = (in_scan & can_scan).astype(I32)
-        cands = []
-        for r in range(SUB):
-            trow = jnp.clip(h[r, 0] >> 7, 0, TAB_ROWS - 1)
-            row = tab_ref[pl.ds(r * TAB_ROWS + trow, 1), :]
-            cands.append(row)
-            # unconditional RMW write-back (a per-chunk pl.when branch costs
-            # ~43ns; writing `row` back unchanged when not updating is free)
-            hl = h[r, 0] & 127
-            lv = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
-            tab_ref[pl.ds(r * TAB_ROWS + trow, 1), :] = jnp.where(
-                jnp.logical_and(lv == hl, upd[r, 0] > 0), ip[r, 0], row)
-
-        C = jnp.concatenate(cands, axis=0)
-        cand_v = jnp.take_along_axis(C, jnp.broadcast_to(h & 127, (SUB, LANES)),
-                                     axis=1)[:, 0:1]
-        wc = bytes4(jnp.maximum(cand_v, 0))
-        hit = can_scan & (cand_v >= 0) & (cand_v < ip) & (wc == w)
-        # reference cadence: advance by skip>>5, skip++ per probe
-        # (SnappyRawCompressor.java:141)
-        adv = _srl(skip, 5)
-        sc_ip = jnp.where(hit, ip, ip + adv)
-        sc_skip = jnp.where(hit, jnp.int32(32), skip + 1)
-        sc_phase = jnp.where(
-            can_scan, jnp.where(hit, jnp.int32(PH_EXTEND), phase),
-            jnp.int32(PH_TAIL))
-        sc_cand = jnp.where(hit, cand_v, cand)
-        sc_mlen = jnp.where(hit, 4, mlen)
-
-        # ---------------- PH_EXTEND (up to 128 bytes per iteration)
         in_ext = need & (phase == PH_EXTEND)
-        pa, pb = in_pair(ip + mlen)
-        ca, cb = in_pair(cand + mlen)
-        wp = gather2(pa, pb, ((ip + mlen) & 127) + lane)
-        wq = gather2(ca, cb, ((cand + mlen) & 127) + lane)
-        cap128 = jnp.clip(nlen - (ip + mlen), 0, 128)
-        neq = (wp != wq) | (lane >= cap128)
-        add = jnp.min(jnp.where(neq, lane, 128), axis=1, keepdims=True)
-        ex_mlen = mlen + add
-        ex_done = (add < 128) | (ip + ex_mlen >= nlen)
-        # backward extension: grow the match into the pending literals while
-        # the preceding bytes also match (the format permits it even though
-        # the reference's snappy encoder never emits it; same trick as
-        # lz4_encode_pallas — both ends shift so the offset is unchanged)
-        bpa, bpb = in_pair(ip - 128)
-        bca, bcb = in_pair(cand - 128)
-        wpb = gather2(bpa, bpb, ((ip - 128) & 127) + lane)
-        wqb = gather2(bca, bcb, ((cand - 128) & 127) + lane)
-        cap_back = jnp.clip(jnp.minimum(ip - anchor, cand), 0, 127)
-        badl = (wpb != wqb) | (lane < 128 - cap_back)
-        last_bad = jnp.max(jnp.where(badl, lane, -1), axis=1, keepdims=True)
-        back = jnp.where(in_ext & ex_done, 127 - last_bad, 0)
-        litlen = ip - back - anchor
-
-        # ---------------- PH_TAIL
-        in_tail = need & (phase == PH_TAIL)
-        tl_litlen = nlen - anchor
-
-        # literal header bytes (EXTEND completion or TAIL)
-        sched_lit = (in_ext & ex_done & (litlen > 0)) | (
-            in_tail & (tl_litlen > 0))
-        use_lit = jnp.where(in_tail, tl_litlen, litlen)
-        n1 = use_lit - 1
-        h_one = n1 < 60
-        h_two = (n1 >= 60) & (n1 < 256)
-        lh0 = jnp.where(h_one, n1 << 2, jnp.where(h_two, 60 << 2, 61 << 2))
-        lh1 = n1 & 255
-        lh2 = _srl(n1, 8)
-        lhl = jnp.where(h_one, 1, jnp.where(h_two, 2, 3))
-
-        # ---------------- PH_EMITCPY: one copy op per visit
+        in_bext = need & (phase == PH_BEXT)
         in_cpy = need & (phase == PH_EMITCPY)
+        in_tail = need & (phase == PH_TAIL)
+        can_scan = ip < limit
+        emit_lit_pre = live & pending & (hlen <= 0) & (rem > 0)
+
+        # ---------------- EMITCPY header math (no loads; needed early for
+        # cpy_done -> merged-RMW selection)
         L = mlen
         d = ip - cand
         big = L >= 68
@@ -236,41 +170,122 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
         ch2 = _srl(d, 8)
         chl = jnp.where(c1, 2, 3)
         cp_left = L - this_len
+        cpy_done = in_cpy & (cp_left <= 0)
+
+        # ---------------- load slot A (phase-selected position)
+        posA = jnp.where(
+            emit_lit_pre, src,
+            jnp.where(in_scan, ip,
+                      jnp.where(in_ext, ip + mlen,
+                                jnp.where(in_bext, ip - 128,
+                                          jnp.maximum(mend - 1, 0)))))
+        pairA = in_pair(cb, posA)
+        wA = win(pairA, posA)
+        u32A = u32_at(pairA, posA)
+
+        # ---------------- merged hash-table RMW
+        # SCAN: probe hash(ip-bytes), insert ip. EMITCPY(done): seed
+        # hash(bytes(mend-1)) = mend-1 (reference parity,
+        # SnappyRawCompressor.java:205-212). Mutually exclusive phases.
+        h = _srl(u32A * jnp.int32(0x1E35A7BD), 32 - HASH_LOG)
+        upd = ((in_scan & can_scan) | cpy_done).astype(I32)
+        ins = jnp.where(cpy_done, mend - 1, ip)
+        cands = []
+        for r in range(SUB):
+            trow = jnp.clip(h[r, 0] >> 7, 0, TAB_ROWS - 1)
+            row = tab_ref[pl.ds((cb + r) * TAB_ROWS + trow, 1), :]
+            cands.append(row)
+            hl = h[r, 0] & 127
+            lv = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
+            tab_ref[pl.ds((cb + r) * TAB_ROWS + trow, 1), :] = jnp.where(
+                jnp.logical_and(lv == hl, upd[r, 0] > 0), ins[r, 0], row)
+        C = jnp.concatenate(cands, axis=0)
+        cand_v = jnp.take_along_axis(
+            C, jnp.broadcast_to(h & 127, (SUB, LANES)), axis=1)[:, 0:1]
+
+        # ---------------- load slot B (phase-selected position)
+        posB = jnp.where(
+            in_scan, jnp.maximum(cand_v, 0),
+            jnp.where(in_ext, cand + mlen,
+                      jnp.where(in_bext, cand - 128, zero)))
+        pairB = in_pair(cb, posB)
+        wB = win(pairB, posB)
+        u32B = u32_at(pairB, posB)
+
+        # ---------------- PH_SCAN resolution
+        hit = can_scan & (cand_v >= 0) & (cand_v < ip) & (u32B == u32A)
+        adv = _srl(skip, 5)
+        sc_ip = jnp.where(hit, ip, ip + adv)
+        sc_skip = jnp.where(hit, jnp.int32(32), skip + 1)
+        sc_phase = jnp.where(
+            can_scan, jnp.where(hit, jnp.int32(PH_EXTEND), phase),
+            jnp.int32(PH_TAIL))
+        sc_cand = jnp.where(hit, cand_v, cand)
+        sc_mlen = jnp.where(hit, 4, mlen)
+
+        # ---------------- PH_EXTEND (forward, 128B/step)
+        cap128 = jnp.clip(nlen - (ip + mlen), 0, 128)
+        neq = (wA != wB) | (lane >= cap128)
+        add = jnp.min(jnp.where(neq, lane, 128), axis=1, keepdims=True)
+        ex_mlen = mlen + add
+        ex_done = (add < 128) | (ip + ex_mlen >= nlen)
+        # backroom: can a backward extension even apply?
+        backroom = jnp.minimum(ip - anchor, cand) > 0
+        ext_next = jnp.where(backroom, jnp.int32(PH_BEXT),
+                             jnp.int32(PH_EMITCPY))
+
+        # ---------------- PH_BEXT (backward, one step per match)
+        cap_back = jnp.clip(jnp.minimum(ip - anchor, cand), 0, 127)
+        badl = (wA != wB) | (lane < 128 - cap_back)
+        last_bad = jnp.max(jnp.where(badl, lane, -1), axis=1, keepdims=True)
+        bx_back = 127 - last_bad
+        # match grows backward, literals shrink; ip/cand stay (both ends
+        # shift so the offset is unchanged — reference never emits this;
+        # the format permits it)
+        bx_mlen = mlen + bx_back
+        litlen_b = ip - bx_back - anchor
+
+        # literal-run scheduling: at EXTEND-done with no backroom
+        # (back=0), or at BEXT
+        litlen = jnp.where(in_bext, litlen_b, ip - anchor)
+        in_tail_l = in_tail
+        sched_point = (in_ext & ex_done & ~backroom) | in_bext
+        sched_lit = (sched_point & (litlen > 0)) | (
+            in_tail_l & (nlen - anchor > 0))
+        use_lit = jnp.where(in_tail_l, nlen - anchor, litlen)
+        n1 = use_lit - 1
+        h_one = n1 < 60
+        h_two = (n1 >= 60) & (n1 < 256)
+        lh0 = jnp.where(h_one, n1 << 2, jnp.where(h_two, 60 << 2, 61 << 2))
+        lh1 = n1 & 255
+        lh2 = _srl(n1, 8)
+        lhl = jnp.where(h_one, 1, jnp.where(h_two, 2, 3))
 
         # ---------------- scheduler state merge
         n_ip = jnp.where(in_scan, sc_ip, ip)
         n_skip = jnp.where(in_scan, sc_skip, skip)
         n_cand = jnp.where(in_scan, sc_cand, cand)
-        n_mlen = jnp.where(in_scan, sc_mlen,
-                           jnp.where(in_ext, ex_mlen + back,
-                                     jnp.where(in_cpy, cp_left, mlen)))
+        n_mlen = jnp.where(
+            in_scan, sc_mlen,
+            jnp.where(in_ext, ex_mlen,
+                      jnp.where(in_bext, bx_mlen,
+                                jnp.where(in_cpy, cp_left, mlen))))
+        # mend: fixed at forward-extension completion (bext shifts the
+        # START back; the end stays)
         n_mend = jnp.where(in_ext & ex_done, ip + ex_mlen, mend)
         n_phase = jnp.where(
             in_scan, sc_phase,
-            jnp.where(in_ext & ex_done, jnp.int32(PH_EMITCPY),
-                      jnp.where(in_tail, jnp.int32(PH_DONE), phase)))
-        # after the whole match is scheduled, scanning resumes at its end
-        cpy_done = in_cpy & (cp_left <= 0)
+            jnp.where(in_ext & ex_done, ext_next,
+                      jnp.where(in_bext, jnp.int32(PH_EMITCPY),
+                                jnp.where(in_tail_l, jnp.int32(PH_DONE),
+                                          phase))))
         n_phase = jnp.where(cpy_done, jnp.int32(PH_SCAN), n_phase)
         n_ip = jnp.where(cpy_done, mend, n_ip)
         n_anchor = jnp.where(cpy_done, mend, anchor)
-        n_anchor = jnp.where(in_tail, nlen, n_anchor)
+        n_anchor = jnp.where(in_tail_l, nlen, n_anchor)
         n_skip = jnp.where(cpy_done, jnp.int32(32), n_skip)
-        # reference parity: before scanning resumes at the match end, seed
-        # table[hash(bytes(mend-1))] = mend-1 ("to improve compression we
-        # first update table[Hash(ip - 1)]", SnappyRawCompressor.java:205-212)
-        wb1 = bytes4(jnp.maximum(mend - 1, 0))
-        hb1 = _srl(wb1 * jnp.int32(0x1E35A7BD), 32 - HASH_LOG)
-        updb = cpy_done.astype(I32)
-        for r in range(SUB):
-            trow = jnp.clip(hb1[r, 0] >> 7, 0, TAB_ROWS - 1)
-            row = tab_ref[pl.ds(r * TAB_ROWS + trow, 1), :]
-            hl = hb1[r, 0] & 127
-            lv = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
-            tab_ref[pl.ds(r * TAB_ROWS + trow, 1), :] = jnp.where(
-                jnp.logical_and(lv == hl, updb[r, 0] > 0), mend[r, 0] - 1, row)
 
-        # pending-run scheduling (header registers + literal run)
+        # pending-run scheduling
         n_hdr0 = jnp.where(sched_lit, lh0, jnp.where(in_cpy, ch0, hdr0))
         n_hdr1 = jnp.where(sched_lit, lh1, jnp.where(in_cpy, ch1, hdr1))
         n_hdr2 = jnp.where(sched_lit, lh2, jnp.where(in_cpy, ch2, hdr2))
@@ -278,39 +293,35 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
         n_rem = jnp.where(sched_lit, use_lit, rem)
         n_src = jnp.where(sched_lit, anchor, src)
 
-        # ---------------- drain engine: header bytes then literal window
+        # ---------------- drain engine (slotA already holds the literal
+        # window when emit_lit_pre)
         o = op & 127
         emit_hdr = live & (hlen > 0)
-        emit_lit = live & (hlen <= 0) & (rem > 0)
+        emit_lit = emit_lit_pre
         hrow = jnp.where(lane == 0, hdr0,
                          jnp.where(lane == 1, hdr1,
                                    jnp.where(lane == 2, hdr2, 0)))
-        La, Lb = in_pair(src)
         take_h = jnp.where(emit_hdr, jnp.minimum(hlen, 128 - o), 0)
         take_l = jnp.where(emit_lit, jnp.minimum(rem, 128 - o), 0)
         take = take_h + take_l
         idx_h = lane - o
-        idx_l = (src & 127) + lane - o
+        # slotA window starts at src; shift into output lane frame
+        idx_l = lane - o
         placed = jnp.where(
             jnp.broadcast_to(emit_hdr, (SUB, LANES)),
             gather2(hrow, zero, idx_h & 255),
-            gather2(La, Lb, idx_l & 255))
+            jnp.take_along_axis(wA, jnp.clip(idx_l, 0, LANES - 1), axis=1))
         mask = (lane >= o) & (lane < o + take)
         n_tile = jnp.where(mask, placed, tile)
         n_op = op + take
         crossed = ((n_op & 127) == 0) & (take > 0)
-        # unconditional per-chunk store of the in-progress tile: on a
-        # crossing iteration this is the row's final value; otherwise a
-        # partial write nothing reads (output is write-only). Row clipped:
-        # an errored chunk can park op at OUT_CAP (its output is invalid).
         for r in range(SUB):
             out_ref[pl.ds(
-                r * OUT_ROWS + jnp.minimum(op[r, 0] >> 7, OUT_ROWS - 1),
+                (cb + r) * OUT_ROWS
+                + jnp.minimum(op[r, 0] >> 7, OUT_ROWS - 1),
                 1), :] = n_tile[r : r + 1, :]
-        n_prev = jnp.where(crossed, n_tile, prev)
         n_tile = jnp.where(crossed, zero, n_tile)
 
-        # header byte shift after a partial/total header drain
         s0 = jnp.where(take_h == 1, hdr1, jnp.where(take_h == 2, hdr2, hdr0))
         s1 = jnp.where(take_h == 1, hdr2, hdr1)
         n_hdr0 = jnp.where(emit_hdr, s0, n_hdr0)
@@ -322,48 +333,65 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
         n_err = err | (live & (n_op + 8 > OUT_CAP)).astype(I32)
         return (n_ip, n_anchor, n_op, n_phase, n_skip, n_cand, n_mlen,
                 n_mend, n_rem, n_src, n_hdr0, n_hdr1, n_hdr2, n_hlen,
-                n_err, steps + 1, n_tile, n_prev)
+                n_err, n_tile)
 
-    init = (zero, zero, op0, phase0, zero + 32, zero, zero, zero,
-            zero, zero, zero, zero, zero, zero, zero, jnp.int32(0),
-            tile0, zero)
-    out = jax.lax.while_loop(cond, body, init)
-    op, err, steps, tile = out[2], out[14], out[15], out[16]
+    inits = []
+    for gi in range(ENC_G):
+        vlen, tile0, phase0 = init_of(nlen_g[gi])
+        inits.append((zero, zero, vlen, phase0, zero + 32, zero, zero,
+                      zero, zero, zero, zero, zero, zero, zero, zero,
+                      tile0))
+    M = 8  # steps between termination-reduction checks
 
-    for r in range(SUB):
-        out_ref[pl.ds(
-            r * OUT_ROWS + jnp.minimum(op[r, 0] >> 7, OUT_ROWS - 1),
-            1), :] = tile[r : r + 1, :]
+    def body(c):
+        steps, states = c
+        sts = list(states)
+        for _ in range(M):
+            for gi in range(ENC_G):
+                sts[gi] = step_one(gi, sts[gi])
+        return (steps + M, tuple(sts))
 
-    ok = err == 0
-    meta_ref[:, :] = jnp.where(
-        lane == 0, op,
-        jnp.where(lane == 1, ok.astype(I32),
-                  jnp.where(lane == 2, _rep(jnp.full((SUB, 1), steps, I32)),
-                            0)))
+    steps, states = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tuple(inits)))
+
+    lane2 = jax.lax.broadcasted_iota(I32, (SUB, LANES), 1)
+    for gi in range(ENC_G):
+        cb = gi * SUB
+        op, err, tile = states[gi][2], states[gi][14], states[gi][15]
+        for r in range(SUB):
+            out_ref[pl.ds(
+                (cb + r) * OUT_ROWS
+                + jnp.minimum(op[r, 0] >> 7, OUT_ROWS - 1),
+                1), :] = tile[r : r + 1, :]
+        ok = err == 0
+        meta_ref[pl.ds(cb, SUB), :] = jnp.where(
+            lane2 == 0, op,
+            jnp.where(lane2 == 1, ok.astype(I32),
+                      jnp.where(lane2 == 2,
+                                _rep(jnp.full((SUB, 1), steps, I32)), 0)))
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def _encode_impl(data, lengths, interpret: bool):
     B, L = data.shape
     rows = data.astype(I32).reshape(B * (L // LANES), LANES)
-    G = B // SUB
+    G = B // SUBT
     out_rows, meta = pl.pallas_call(
         _encode_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(G,),
             in_specs=[
-                pl.BlockSpec((SUB * IN_ROWS, LANES), lambda g, *_: (g, 0),
+                pl.BlockSpec((SUBT * IN_ROWS, LANES), lambda g, *_: (g, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((SUB * OUT_ROWS, LANES), lambda g, *_: (g, 0),
+                pl.BlockSpec((SUBT * OUT_ROWS, LANES), lambda g, *_: (g, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((SUB, LANES), lambda g, *_: (g, 0),
+                pl.BlockSpec((SUBT, LANES), lambda g, *_: (g, 0),
                              memory_space=pltpu.VMEM),
             ),
-            scratch_shapes=[pltpu.VMEM((SUB * TAB_ROWS, LANES), I32)],
+            scratch_shapes=[pltpu.VMEM((SUBT * TAB_ROWS, LANES), I32)],
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B * OUT_ROWS, LANES), I32),
@@ -383,15 +411,11 @@ def _encode_impl(data, lengths, interpret: bool):
 
 
 def encode(data, lengths, with_steps: bool = False):
-    """Compress B chunks (≤64KB each) in ONE kernel launch.
-
-    data (B, L≤65536) uint8 zero-padded, lengths (B,) int32. Returns
-    (comp (B, OUT_CAP) u8, comp_lens, ok[, steps])."""
     B, L = data.shape
     assert L <= MAX_IN
     if L < MAX_IN:
         data = jnp.pad(data, ((0, 0), (0, MAX_IN - L)))
-    pad_b = (-B) % SUB
+    pad_b = (-B) % SUBT
     if pad_b:
         data = jnp.concatenate(
             [data, jnp.zeros((pad_b, MAX_IN), data.dtype)], axis=0)

@@ -32,6 +32,8 @@ LANES = 128
 import os
 
 SUB = int(os.environ.get("ENC_SUB", "8"))
+ENC_G = int(os.environ.get("ENC_G", "1"))  # interleaved groups per grid step
+SUBT = SUB * ENC_G  # chunks per grid step
 MAX_IN = 65536
 IN_ROWS = MAX_IN // LANES  # 512
 HASH_LOG = 14
@@ -55,10 +57,12 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
     g = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(I32, (SUB, LANES), 1)
     zero = jnp.zeros((SUB, LANES), I32)
-    nlen = _rep(
-        jnp.stack([lens_ref[g * SUB + r] for r in range(SUB)]).reshape(SUB, 1))
+    nlen_g = [
+        _rep(jnp.stack([lens_ref[g * SUBT + gi * SUB + r]
+                        for r in range(SUB)]).reshape(SUB, 1))
+        for gi in range(ENC_G)]
 
-    tab_ref[:, :] = jnp.full((SUB * TAB_ROWS, LANES), -1, I32)
+    tab_ref[:, :] = jnp.full((SUBT * TAB_ROWS, LANES), -1, I32)
 
     def gather2(row_a, row_b, idx):
         m = idx & 127
@@ -68,14 +72,14 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
             jnp.take_along_axis(row_b, m, axis=1),
         )
 
-    def in_pair(posv):
+    def in_pair(cb, posv):
         ra, rb = [], []
         for r in range(SUB):
             h = posv[r, 0] >> 7
             h0 = jnp.clip(h, 0, IN_ROWS - 1)
             h1 = jnp.clip(h + 1, 0, IN_ROWS - 1)
-            ra.append(in_ref[pl.ds(r * IN_ROWS + h0, 1), :])
-            rb.append(in_ref[pl.ds(r * IN_ROWS + h1, 1), :])
+            ra.append(in_ref[pl.ds((cb + r) * IN_ROWS + h0, 1), :])
+            rb.append(in_ref[pl.ds((cb + r) * IN_ROWS + h1, 1), :])
         return jnp.concatenate(ra, axis=0), jnp.concatenate(rb, axis=0)
 
     def win(pair, posv):
@@ -89,32 +93,39 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
         return (pk[:, 0:1] | (pk[:, 1:2] << 8) | (pk[:, 2:3] << 16)
                 | (pk[:, 3:4] << 24))
 
-    # varint prefix
-    vb0 = jnp.where(nlen < 128, nlen, (nlen & 127) | 128)
-    rest = nlen >> 7
-    vb1 = jnp.where(rest < 128, rest, (rest & 127) | 128)
-    vb2 = rest >> 7
-    vlen = jnp.where(nlen < 128, 1, jnp.where(rest < 128, 2, 3))
-    op0 = vlen
-    tile0 = jnp.where(
-        lane == 0, vb0,
-        jnp.where((lane == 1) & (vlen >= 2), vb1,
-                  jnp.where((lane == 2) & (vlen >= 3), vb2, 0)))
-    phase0 = jnp.where(nlen <= 0, jnp.int32(PH_DONE), jnp.int32(PH_SCAN))
-    limit = nlen - INPUT_MARGIN
+    def init_of(nlen):
+        vb0 = jnp.where(nlen < 128, nlen, (nlen & 127) | 128)
+        rest = nlen >> 7
+        vb1 = jnp.where(rest < 128, rest, (rest & 127) | 128)
+        vb2 = rest >> 7
+        vlen = jnp.where(nlen < 128, 1, jnp.where(rest < 128, 2, 3))
+        tile0 = jnp.where(
+            lane == 0, vb0,
+            jnp.where((lane == 1) & (vlen >= 2), vb1,
+                      jnp.where((lane == 2) & (vlen >= 3), vb2, 0)))
+        phase0 = jnp.where(nlen <= 0, jnp.int32(PH_DONE),
+                           jnp.int32(PH_SCAN))
+        return vlen, tile0, phase0
 
     # carry: ip, anchor, op, phase, skip, cand, mlen, mend,
     #        rem, src, hdr0, hdr1, hdr2, hlen, err, steps, tile
     def cond(c):
-        phase, rem, hlen, err, steps = c[3], c[8], c[13], c[14], c[15]
-        pending = (rem[:, 0:1] > 0) | (hlen[:, 0:1] > 0)
-        live = (err[:, 0:1] == 0) & (
-            (phase[:, 0:1] != PH_DONE) | pending)
+        steps, states = c
+        live = None
+        for gi in range(ENC_G):
+            phase, rem, hlen, err = (states[gi][3], states[gi][8],
+                                     states[gi][13], states[gi][14])
+            pending = (rem[:, 0:1] > 0) | (hlen[:, 0:1] > 0)
+            lg = (err[:, 0:1] == 0) & ((phase[:, 0:1] != PH_DONE) | pending)
+            live = lg if live is None else (live | lg)
         return (jnp.max(live.astype(I32)) > 0) & (steps < 6 * MAX_IN)
 
-    def body(c):
+    def step_one(gi, c):
+        cb = gi * SUB
+        nlen = nlen_g[gi]
+        limit = nlen - INPUT_MARGIN
         (ip, anchor, op, phase, skip, cand, mlen, mend,
-         rem, src, hdr0, hdr1, hdr2, hlen, err, steps, tile) = c
+         rem, src, hdr0, hdr1, hdr2, hlen, err, tile) = c
         pending = (rem > 0) | (hlen > 0)
         live = (err == 0) & ((phase != PH_DONE) | pending)
         need = live & ~pending & (phase != PH_DONE)
@@ -150,7 +161,7 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
                       jnp.where(in_ext, ip + mlen,
                                 jnp.where(in_bext, ip - 128,
                                           jnp.maximum(mend - 1, 0)))))
-        pairA = in_pair(posA)
+        pairA = in_pair(cb, posA)
         wA = win(pairA, posA)
         u32A = u32_at(pairA, posA)
 
@@ -164,11 +175,11 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
         cands = []
         for r in range(SUB):
             trow = jnp.clip(h[r, 0] >> 7, 0, TAB_ROWS - 1)
-            row = tab_ref[pl.ds(r * TAB_ROWS + trow, 1), :]
+            row = tab_ref[pl.ds((cb + r) * TAB_ROWS + trow, 1), :]
             cands.append(row)
             hl = h[r, 0] & 127
             lv = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
-            tab_ref[pl.ds(r * TAB_ROWS + trow, 1), :] = jnp.where(
+            tab_ref[pl.ds((cb + r) * TAB_ROWS + trow, 1), :] = jnp.where(
                 jnp.logical_and(lv == hl, upd[r, 0] > 0), ins[r, 0], row)
         C = jnp.concatenate(cands, axis=0)
         cand_v = jnp.take_along_axis(
@@ -179,7 +190,7 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
             in_scan, jnp.maximum(cand_v, 0),
             jnp.where(in_ext, cand + mlen,
                       jnp.where(in_bext, cand - 128, zero)))
-        pairB = in_pair(posB)
+        pairB = in_pair(cb, posB)
         wB = win(pairB, posB)
         u32B = u32_at(pairB, posB)
 
@@ -288,7 +299,8 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
         crossed = ((n_op & 127) == 0) & (take > 0)
         for r in range(SUB):
             out_ref[pl.ds(
-                r * OUT_ROWS + jnp.minimum(op[r, 0] >> 7, OUT_ROWS - 1),
+                (cb + r) * OUT_ROWS
+                + jnp.minimum(op[r, 0] >> 7, OUT_ROWS - 1),
                 1), :] = n_tile[r : r + 1, :]
         n_tile = jnp.where(crossed, zero, n_tile)
 
@@ -303,48 +315,65 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
         n_err = err | (live & (n_op + 8 > OUT_CAP)).astype(I32)
         return (n_ip, n_anchor, n_op, n_phase, n_skip, n_cand, n_mlen,
                 n_mend, n_rem, n_src, n_hdr0, n_hdr1, n_hdr2, n_hlen,
-                n_err, steps + 1, n_tile)
+                n_err, n_tile)
 
-    init = (zero, zero, op0, phase0, zero + 32, zero, zero, zero,
-            zero, zero, zero, zero, zero, zero, zero, jnp.int32(0), tile0)
-    out = jax.lax.while_loop(cond, body, init)
-    op, err, steps, tile = out[2], out[14], out[15], out[16]
+    inits = []
+    for gi in range(ENC_G):
+        vlen, tile0, phase0 = init_of(nlen_g[gi])
+        inits.append((zero, zero, vlen, phase0, zero + 32, zero, zero,
+                      zero, zero, zero, zero, zero, zero, zero, zero,
+                      tile0))
+    M = int(os.environ.get("ENC_M", "8"))
 
-    for r in range(SUB):
-        out_ref[pl.ds(
-            r * OUT_ROWS + jnp.minimum(op[r, 0] >> 7, OUT_ROWS - 1),
-            1), :] = tile[r : r + 1, :]
+    def body(c):
+        steps, states = c
+        sts = list(states)
+        for _ in range(M):
+            for gi in range(ENC_G):
+                sts[gi] = step_one(gi, sts[gi])
+        return (steps + M, tuple(sts))
+
+    steps, states = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tuple(inits)))
 
     lane2 = jax.lax.broadcasted_iota(I32, (SUB, LANES), 1)
-    ok = err == 0
-    meta_ref[:, :] = jnp.where(
-        lane2 == 0, op,
-        jnp.where(lane2 == 1, ok.astype(I32),
-                  jnp.where(lane2 == 2, _rep(jnp.full((SUB, 1), steps, I32)),
-                            0)))
+    for gi in range(ENC_G):
+        cb = gi * SUB
+        op, err, tile = states[gi][2], states[gi][14], states[gi][15]
+        for r in range(SUB):
+            out_ref[pl.ds(
+                (cb + r) * OUT_ROWS
+                + jnp.minimum(op[r, 0] >> 7, OUT_ROWS - 1),
+                1), :] = tile[r : r + 1, :]
+        ok = err == 0
+        meta_ref[pl.ds(cb, SUB), :] = jnp.where(
+            lane2 == 0, op,
+            jnp.where(lane2 == 1, ok.astype(I32),
+                      jnp.where(lane2 == 2,
+                                _rep(jnp.full((SUB, 1), steps, I32)), 0)))
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def _encode_impl(data, lengths, interpret: bool):
     B, L = data.shape
     rows = data.astype(I32).reshape(B * (L // LANES), LANES)
-    G = B // SUB
+    G = B // SUBT
     out_rows, meta = pl.pallas_call(
         _encode_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(G,),
             in_specs=[
-                pl.BlockSpec((SUB * IN_ROWS, LANES), lambda g, *_: (g, 0),
+                pl.BlockSpec((SUBT * IN_ROWS, LANES), lambda g, *_: (g, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((SUB * OUT_ROWS, LANES), lambda g, *_: (g, 0),
+                pl.BlockSpec((SUBT * OUT_ROWS, LANES), lambda g, *_: (g, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((SUB, LANES), lambda g, *_: (g, 0),
+                pl.BlockSpec((SUBT, LANES), lambda g, *_: (g, 0),
                              memory_space=pltpu.VMEM),
             ),
-            scratch_shapes=[pltpu.VMEM((SUB * TAB_ROWS, LANES), I32)],
+            scratch_shapes=[pltpu.VMEM((SUBT * TAB_ROWS, LANES), I32)],
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B * OUT_ROWS, LANES), I32),
@@ -368,7 +397,7 @@ def encode(data, lengths, with_steps: bool = False):
     assert L <= MAX_IN
     if L < MAX_IN:
         data = jnp.pad(data, ((0, 0), (0, MAX_IN - L)))
-    pad_b = (-B) % SUB
+    pad_b = (-B) % SUBT
     if pad_b:
         data = jnp.concatenate(
             [data, jnp.zeros((pad_b, MAX_IN), data.dtype)], axis=0)

@@ -24,6 +24,20 @@ _COMP_ALIGN = 1024
 _KERNEL_OK: dict = {}  # codec -> megakernel passed its one-time canary
 
 
+def _selfcheck_payload(seed: int = 0xA1C0) -> bytes:
+    """Production-size (64KB) MIXED canary payload: repeated text at
+    varied distances + an incompressible stretch. The r4 lesson (VERDICT
+    #7): a small repetitive canary green-lit a kernel that corrupted real
+    corpus chunks — every self-check that gates a production path uses
+    this instead."""
+    rng = np.random.default_rng(seed)
+    words = [rng.integers(32, 127, int(n), dtype=np.uint8)
+             for n in rng.integers(5, 400, 60)]
+    parts = [words[int(i)] for i in rng.integers(0, len(words), 400)]
+    parts.append(rng.integers(0, 256, 8192, dtype=np.uint8))
+    return np.concatenate(parts).tobytes()[:65536]
+
+
 def _kernel_self_check(codec: str, dec, compress) -> bool:
     """One-time per-process canary decode of a known chunk through the
     Pallas megakernel (graceful-fallback contract of the native loader,
@@ -34,8 +48,7 @@ def _kernel_self_check(codec: str, dec, compress) -> bool:
         import jax.numpy as jnp
 
         try:
-            payload = bytes(np.tile(
-                np.frombuffer(b"device self check 0123456789", np.uint8), 40))
+            payload = _selfcheck_payload()
             blob = compress(payload)
             buf, lens = _pack([blob], _round_up(len(blob) + 1, _COMP_ALIGN))
             out, olens, okv = dec(jnp.asarray(buf), jnp.asarray(lens))
@@ -140,9 +153,8 @@ class SnappyBatchCodec:
                 from ..snappy import SnappyRefDecompressor
                 from . import snappy_encode_pallas
 
-                payload = bytes(np.tile(np.frombuffer(
-                    b"encode self check 0123456789", np.uint8), 40))
-                buf = np.zeros((1, 2048), np.uint8)
+                payload = _selfcheck_payload()
+                buf = np.zeros((1, 65536), np.uint8)
                 buf[0, : len(payload)] = np.frombuffer(payload, np.uint8)
                 comp, clens, okv = snappy_encode_pallas.encode(
                     jnp.asarray(buf),
@@ -223,9 +235,8 @@ class Lz4BatchCodec:
                 from ..lz4 import Lz4RefDecompressor
                 from . import lz4_encode_pallas
 
-                payload = bytes(np.tile(np.frombuffer(
-                    b"lz4 encode self check 0123456789", np.uint8), 40))
-                buf = np.zeros((1, 2048), np.uint8)
+                payload = _selfcheck_payload()
+                buf = np.zeros((1, 65536), np.uint8)
                 buf[0, : len(payload)] = np.frombuffer(payload, np.uint8)
                 comp, clens, okv = lz4_encode_pallas.encode(
                     jnp.asarray(buf),
@@ -365,18 +376,8 @@ class ZstdBatchCodec:
                 from ..zstd import frame_dec
                 from . import zstd_encode_jax
 
-                # production-size (64KB) mixed payload: repeated text at
-                # varied distances + an incompressible stretch — the
-                # VERDICT r4 finding was that a 1.6KB repetitive canary
-                # green-lit a matcher that corrupted real corpus chunks
-                rng = np.random.default_rng(0xA1C0)
-                words = [rng.integers(32, 127, int(n), dtype=np.uint8)
-                         for n in rng.integers(5, 400, 60)]
-                parts = [words[int(i)]
-                         for i in rng.integers(0, len(words), 400)]
-                parts.append(rng.integers(0, 256, 8192, dtype=np.uint8))
                 payloads = [
-                    np.concatenate(parts).tobytes()[:65536],
+                    _selfcheck_payload(),
                     bytes(np.tile(np.frombuffer(
                         b"zstd device encode self check 0123456789",
                         np.uint8), 40)),

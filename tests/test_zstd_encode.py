@@ -221,8 +221,20 @@ def test_device_encode_tier_with_device_matcher(monkeypatch):
         assert d.decompress(f, len(c)) == c, f"chunk {i} own-decode"
         if oracles.zstd_lib() is not None:
             assert oracles.zstd_decompress(f, len(c)) == c, i
-    host_total = sum(len(fe.compress_bytes(bytes(c))) for c in chunks)
-    assert sum(len(f) for f in outs) <= host_total * 1.04
+    import jax
+
+    total = sum(len(f) for f in outs)
+    if jax.default_backend() != "tpu":
+        # faithful (interpret) kernel: within a few percent of the host
+        # matcher (no ip+1 long probe)
+        host_total = sum(len(fe.compress_bytes(bytes(c))) for c in chunks)
+        assert total <= host_total * 1.04
+    else:
+        # forced-on over the device-DIVERGENT kernel (DESIGN §8.4: sound
+        # matches but ~5x fewer): decodability above is the load-bearing
+        # contract; size gets only a sanity bound. The production path
+        # never takes this configuration (qualification gates it off).
+        assert total <= sum(len(c) for c in chunks) * 1.1
 
 
 def test_batch_codec_device_encode_round_trip():

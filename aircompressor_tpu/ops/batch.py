@@ -29,11 +29,19 @@ def _selfcheck_payload(seed: int = 0xA1C0) -> bytes:
     varied distances + an incompressible stretch. The r4 lesson (VERDICT
     #7): a small repetitive canary green-lit a kernel that corrupted real
     corpus chunks — every self-check that gates a production path uses
-    this instead."""
+    this instead. The text portion is capped so the random stretch always
+    survives (a plain [:65536] truncation would cut it off entirely)."""
     rng = np.random.default_rng(seed)
     words = [rng.integers(32, 127, int(n), dtype=np.uint8)
              for n in rng.integers(5, 400, 60)]
-    parts = [words[int(i)] for i in rng.integers(0, len(words), 400)]
+    parts: list = []
+    total = 0
+    for i in rng.integers(0, len(words), 400):
+        w = words[int(i)]
+        if total + w.size > 65536 - 8192:
+            break
+        parts.append(w)
+        total += w.size
     parts.append(rng.integers(0, 256, 8192, dtype=np.uint8))
     return np.concatenate(parts).tobytes()[:65536]
 

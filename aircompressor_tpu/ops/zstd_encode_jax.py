@@ -61,10 +61,30 @@ SYM_CAP = 64  # FSE symbols per field (LL 36, OF 32, ML 53)
 # Device DFAST matcher opt-out (the host verifies every device-proposed
 # match before use, so this is a performance toggle, not a safety one).
 USE_DEVICE_MATCHER = os.environ.get(
-    "AIRCOMPRESSOR_TPU_ZSTD_DEVICE_MATCHER", "1") not in ("0", "false", "")
+    "AIRCOMPRESSOR_TPU_ZSTD_DEVICE_MATCHER", "1").strip().lower() not in (
+    "0", "false", "no", "off", "")
 
 _MATCHER_QUALIFIED: bool | None = None
 _FORCE_MATCHER = False  # test hook: bypass backend check + qualification
+
+
+def _verify_proposals(data: np.ndarray, ll: np.ndarray, ml: np.ndarray,
+                      of: np.ndarray, last: int, min_match: int) -> bool:
+    """Full soundness check of matcher proposals against ``data``:
+    structure (non-negative lit lens, match lens >= min_match, offsets in
+    range, coverage == len) and content (data[j] == data[j - offset]
+    across every match span — exact LZ77 incl. overlapping copies)."""
+    if (ll < 0).any() or (ml < min_match).any() or (of <= 0).any():
+        return False
+    if int(ll.sum() + ml.sum()) + last != data.size:
+        return False
+    pos = np.cumsum(np.concatenate([[0], (ll + ml)[:-1]]))
+    if (of > pos + ll).any():
+        return False
+    seg0 = np.cumsum(ml) - ml
+    span = np.arange(int(ml.sum()), dtype=np.int64)
+    dst = np.repeat(pos + ll, ml) + (span - np.repeat(seg0, ml))
+    return bool(np.array_equal(data[dst], data[dst - np.repeat(of, ml)]))
 
 
 def _matcher_qualified() -> bool:
@@ -82,13 +102,9 @@ def _matcher_qualified() -> bool:
         import jax.numpy as jnp
 
         from . import zstd_dfast_pallas as dk
+        from .batch import _selfcheck_payload
 
-        rng = np.random.default_rng(0xDFA5)
-        words = [rng.integers(32, 127, int(n), dtype=np.uint8)
-                 for n in rng.integers(5, 400, 60)]
-        parts = [words[int(i)] for i in rng.integers(0, len(words), 400)]
-        parts.append(rng.integers(0, 256, 8192, dtype=np.uint8))
-        payload = np.concatenate(parts)[:65536]
+        payload = np.frombuffer(_selfcheck_payload(seed=0xDFA5), np.uint8)
         buf = jnp.asarray(payload[None, :])
         ll, ml, of, nseq, last, ok = dk.find_sequences_batch(
             buf, jnp.asarray(np.array([payload.size], np.int32)))
@@ -99,19 +115,8 @@ def _matcher_qualified() -> bool:
         ll_n = np.asarray(ll)[0, :m].astype(np.int64)
         ml_n = np.asarray(ml)[0, :m].astype(np.int64)
         of_n = np.asarray(of)[0, :m].astype(np.int64)
-        sound = ((ll_n >= 0).all() and (ml_n >= dk.MIN_MATCH).all()
-                 and (of_n > 0).all()
-                 and int(ll_n.sum() + ml_n.sum())
-                 + int(np.asarray(last)[0]) == payload.size)
-        if sound:
-            pos = np.cumsum(np.concatenate([[0], (ll_n + ml_n)[:-1]]))
-            sound = bool((of_n <= pos + ll_n).all())
-        if sound:
-            seg0 = np.cumsum(ml_n) - ml_n
-            span = np.arange(int(ml_n.sum()), dtype=np.int64)
-            dst = np.repeat(pos + ll_n, ml_n) + (span - np.repeat(seg0, ml_n))
-            sound = np.array_equal(payload[dst],
-                                   payload[dst - np.repeat(of_n, ml_n)])
+        sound = _verify_proposals(payload, ll_n, ml_n, of_n,
+                                  int(np.asarray(last)[0]), dk.MIN_MATCH)
         host_cov = int(block_enc.find_sequences(
             payload, _params(3, payload.size))[2].sum())
         _MATCHER_QUALIFIED = bool(
@@ -345,25 +350,8 @@ def _device_matcher_batch(chunks, level: int):
         ml = ml_n[i, :m].astype(np.int64)
         of = of_n[i, :m].astype(np.int64)
         last = int(last_n[i])
-        # structural validation (content corruption is caught by the frame
-        # checksum on decode; structure must be sound before planning)
-        if (ll < 0).any() or (ml < dk.MIN_MATCH).any() or (of <= 0).any():
-            outs.append(None)
-            continue
-        if int(ll.sum() + ml.sum()) + last != len(c):
-            outs.append(None)
-            continue
-        pos = np.cumsum(np.concatenate([[0], (ll + ml)[:-1]]))
-        if (of > pos + ll).any():
-            outs.append(None)
-            continue
         data = np.frombuffer(c, np.uint8)
-        # content verification: every match byte must equal the byte
-        # `offset` back (exact for overlapping copies too)
-        seg0 = np.cumsum(ml) - ml
-        span = np.arange(int(ml.sum()), dtype=np.int64)
-        dst = np.repeat(pos + ll, ml) + (span - np.repeat(seg0, ml))
-        if not np.array_equal(data[dst], data[dst - np.repeat(of, ml)]):
+        if not _verify_proposals(data, ll, ml, of, last, dk.MIN_MATCH):
             outs.append(None)
             continue
         lits = _extract_literals(data, ll, ml, last)

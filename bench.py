@@ -634,6 +634,15 @@ def _apply_pinned_baselines(detail: dict) -> None:
     if not os.path.exists(_PIN_PATH):
         return
     pins = json.load(open(_PIN_PATH))
+    if pins.get("corpus_sha256_16") != detail.get("corpus_sha256_16"):
+        # different corpus than the one the pins were measured on: using
+        # them would mask corpus drift as kernel movement — fall back to
+        # this run's own measurements and flag it
+        detail["baseline_pin_mismatch"] = (
+            f"pins measured on corpus {pins.get('corpus_sha256_16')}, "
+            f"this run is {detail.get('corpus_sha256_16')} — re-pin with "
+            "python bench.py --pin-baselines")
+        return
     detail["baseline_pinned_at"] = pins.get("pinned_at")
     for row, val in pins.get("rows", {}).items():
         meas = detail.get(row)

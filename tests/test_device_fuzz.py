@@ -169,3 +169,23 @@ def test_host_decoder_exception_contract(codec):
             dec(bytes(b))
         except MalformedInputException:
             pass
+
+
+def test_selfcheck_payload_is_genuinely_mixed():
+    """The kernel-gating canary must contain BOTH compressible text and an
+    incompressible stretch (r5 review finding: a plain [:65536] truncation
+    silently dropped the random tail, reducing every self-check to pure
+    text — the exact weakness the payload was built to fix)."""
+    import numpy as np
+
+    from aircompressor_tpu.ops.batch import _selfcheck_payload
+
+    p = np.frombuffer(_selfcheck_payload(), np.uint8)
+    assert p.size >= 60000  # production-size
+    # last 8KB: uniform random bytes (mean ~127.5, full range)
+    tail = p[-8192:]
+    assert abs(float(tail.mean()) - 127.5) < 5.0
+    assert tail.min() < 16 and tail.max() > 239
+    # head: printable text (compressible)
+    head = p[:-8192]
+    assert head.size > 40000 and head.max() < 127 and head.min() >= 32

@@ -86,26 +86,12 @@ def _srl(x, n):
     return jax.lax.shift_right_logical(x, n)
 
 
-def _encode_kernel(lens_ref, in_ref, out_ref, out_ref2, out_ref3, meta_ref,
-                   tab_ref, tab_ref2, tab_ref3, scr_ref):
-
-    def outr(r):
-        # same <= 6-stores-per-ref discipline as tab() for the drain
-        if r < 6:
-            return (out_ref, r)
-        if r < 12:
-            return (out_ref2, r - 6)
-        return (out_ref3, r - 12)
+def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref, tab_ref2,
+                   scr_ref):
 
     def tab(r):
-        # r5 minimal-repro finding (scratch/mosaic_scr16_repro.py): >= 7
-        # dynamic stores to ONE scratch ref corrupt subsequent dynamic
-        # loads at 16 sublanes; <= 6 per ref is clean. Three-way split.
-        if r < 6:
-            return (tab_ref, r)
-        if r < 12:
-            return (tab_ref2, r - 6)
-        return (tab_ref3, r - 12)
+        # per-half table refs: RMW scratch stays 8 chunks wide
+        return (tab_ref, r) if r < 8 else (tab_ref2, r - 8)
 
 
     def scal(x):
@@ -118,13 +104,11 @@ def _encode_kernel(lens_ref, in_ref, out_ref, out_ref2, out_ref3, meta_ref,
     nlen = _rep(
         jnp.stack([lens_ref[g * SUB + r] for r in range(SUB)]).reshape(SUB, 1))
 
-    # per-grid-step hash-table reset (one full-block store per third)
-    tab_ref[:, :] = jnp.full((min(SUB, 6) * TAB_ROWS, LANES), -1, I32)
-    if SUB > 6:
-        tab_ref2[:, :] = jnp.full(
-            (min(SUB - 6, 6) * TAB_ROWS, LANES), -1, I32)
-    if SUB > 12:
-        tab_ref3[:, :] = jnp.full(((SUB - 12) * TAB_ROWS, LANES), -1, I32)
+    # per-grid-step hash-table reset (one full-block store per half)
+    H1 = min(SUB, 8)
+    tab_ref[:, :] = jnp.full((H1 * TAB_ROWS, LANES), -1, I32)
+    if SUB > 8:
+        tab_ref2[:, :] = jnp.full(((SUB - 8) * TAB_ROWS, LANES), -1, I32)
 
     def gather2(row_a, row_b, idx):
         m = idx & 127
@@ -168,7 +152,8 @@ def _encode_kernel(lens_ref, in_ref, out_ref, out_ref2, out_ref3, meta_ref,
     limit = nlen - INPUT_MARGIN  # last position allowed to START a match
 
     # carry: ip, anchor, op, phase, skip, cand, mlen, mend,
-    #        rem, src, hdr0, hdr1, hdr2, hlen, err, steps, tile, prev
+    #        rem, src, hdr0, hdr1, hdr2, hlen, err, steps, tile, prev,
+    #        nseen, ncmp
     def cond(c):
         phase, rem, hlen, err, steps = c[3], c[8], c[13], c[14], c[15]
         pending = (rem[:, 0:1] > 0) | (hlen[:, 0:1] > 0)
@@ -178,7 +163,8 @@ def _encode_kernel(lens_ref, in_ref, out_ref, out_ref2, out_ref3, meta_ref,
 
     def body(c):
         (ip, anchor, op, phase, skip, cand, mlen, mend,
-         rem, src, hdr0, hdr1, hdr2, hlen, err, steps, tile, prev) = c
+         rem, src, hdr0, hdr1, hdr2, hlen, err, steps, tile, prev,
+         nseen, ncmp) = c
         pending = (rem > 0) | (hlen > 0)
         live = (err == 0) & ((phase != PH_DONE) | pending)
         need = live & ~pending & (phase != PH_DONE)
@@ -210,6 +196,11 @@ def _encode_kernel(lens_ref, in_ref, out_ref, out_ref2, out_ref3, meta_ref,
                                      axis=1)[:, 0:1]
         wc = bytes4(jnp.maximum(cand_v, 0))
         hit = can_scan & (cand_v >= 0) & (cand_v < ip) & (wc == w)
+        dbg_seen = (in_scan & can_scan & (cand_v >= 0) & (cand_v < ip))
+        dbg_cmp = dbg_seen & (wc == w)
+        # self-consistency: a SECOND load of the SAME position must agree
+        w_again = bytes4(ip)
+        dbg_self = in_scan & can_scan & (w_again == w)
         # reference cadence: advance by skip>>5, skip++ per probe
         # (SnappyRawCompressor.java:141)
         adv = _srl(skip, 5)
@@ -352,9 +343,8 @@ def _encode_kernel(lens_ref, in_ref, out_ref, out_ref2, out_ref3, meta_ref,
         # an errored chunk can park op at OUT_CAP (its output is invalid).
         opv = scal(op)
         for r in range(SUB):
-            orf, rr = outr(r)
-            orf[pl.ds(
-                rr * OUT_ROWS + jnp.minimum(opv[r] >> 7, OUT_ROWS - 1),
+            out_ref[pl.ds(
+                r * OUT_ROWS + jnp.minimum(opv[r] >> 7, OUT_ROWS - 1),
                 1), :] = n_tile[r : r + 1, :]
         n_prev = jnp.where(crossed, n_tile, prev)
         n_tile = jnp.where(crossed, zero, n_tile)
@@ -369,21 +359,24 @@ def _encode_kernel(lens_ref, in_ref, out_ref, out_ref2, out_ref3, meta_ref,
         n_src = jnp.where(emit_lit, src + take_l, n_src)
 
         n_err = err | (live & (n_op + 8 > OUT_CAP)).astype(I32)
+        nseen = nseen + dbg_seen.astype(I32) * 1000000 + dbg_self.astype(I32)
+        ncmp = ncmp + dbg_cmp.astype(I32)
+
         return (n_ip, n_anchor, n_op, n_phase, n_skip, n_cand, n_mlen,
                 n_mend, n_rem, n_src, n_hdr0, n_hdr1, n_hdr2, n_hlen,
-                n_err, steps + 1, n_tile, n_prev)
+                n_err, steps + 1, n_tile, n_prev, nseen, ncmp)
 
     init = (zero, zero, op0, phase0, zero + 32, zero, zero, zero,
             zero, zero, zero, zero, zero, zero, zero, jnp.int32(0),
-            tile0, zero)
+            tile0, zero, zero, zero)
     out = jax.lax.while_loop(cond, body, init)
     op, err, steps, tile = out[2], out[14], out[15], out[16]
+    nseen, ncmp = out[18], out[19]
 
     opv = scal(op)
     for r in range(SUB):
-        orf, rr = outr(r)
-        orf[pl.ds(
-            rr * OUT_ROWS + jnp.minimum(opv[r] >> 7, OUT_ROWS - 1),
+        out_ref[pl.ds(
+            r * OUT_ROWS + jnp.minimum(opv[r] >> 7, OUT_ROWS - 1),
             1), :] = tile[r : r + 1, :]
 
     ok = err == 0
@@ -391,7 +384,8 @@ def _encode_kernel(lens_ref, in_ref, out_ref, out_ref2, out_ref3, meta_ref,
         lane == 0, op,
         jnp.where(lane == 1, ok.astype(I32),
                   jnp.where(lane == 2, _rep(jnp.full((SUB, 1), steps, I32)),
-                            0)))
+                            jnp.where(lane == 3, nseen,
+                                      jnp.where(lane == 4, ncmp, 0)))))
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -399,7 +393,7 @@ def _encode_impl(data, lengths, interpret: bool):
     B, L = data.shape
     rows = data.astype(I32).reshape(B * (L // LANES), LANES)
     G = B // SUB
-    out_a, out_b, out_c, meta = pl.pallas_call(
+    out_rows, meta = pl.pallas_call(
         _encode_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -409,27 +403,18 @@ def _encode_impl(data, lengths, interpret: bool):
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((min(SUB, 6) * OUT_ROWS, LANES),
-                             lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((max(min(SUB - 6, 6), 1) * OUT_ROWS, LANES),
-                             lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((max(SUB - 12, 1) * OUT_ROWS, LANES),
-                             lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((SUB * OUT_ROWS, LANES), lambda g, *_: (g, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((SUB, LANES), lambda g, *_: (g, 0),
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((min(SUB, 6) * TAB_ROWS, LANES), I32),
-                pltpu.VMEM((max(min(SUB - 6, 6), 1) * TAB_ROWS, LANES), I32),
-                pltpu.VMEM((max(SUB - 12, 1) * TAB_ROWS, LANES), I32),
+                pltpu.VMEM((min(SUB, 8) * TAB_ROWS, LANES), I32),
+                pltpu.VMEM((max(SUB - 8, 1) * TAB_ROWS, LANES), I32),
                 pltpu.VMEM((SUB, LANES), I32)],
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B // SUB * min(SUB, 6) * OUT_ROWS, LANES), I32),
-            jax.ShapeDtypeStruct(
-                (B // SUB * max(min(SUB - 6, 6), 1) * OUT_ROWS, LANES), I32),
-            jax.ShapeDtypeStruct(
-                (B // SUB * max(SUB - 12, 1) * OUT_ROWS, LANES), I32),
+            jax.ShapeDtypeStruct((B * OUT_ROWS, LANES), I32),
             jax.ShapeDtypeStruct((B, LANES), I32),
         ),
         interpret=interpret,
@@ -439,16 +424,10 @@ def _encode_impl(data, lengths, interpret: bool):
     comp_lens = meta[:, 0]
     ok = meta[:, 1] > 0
     steps = meta[:, 2]
-    na, nb, nc = min(SUB, 6), max(min(SUB - 6, 6), 0), max(SUB - 12, 0)
-    parts = [out_a.reshape(B // SUB, na, OUT_CAP)]
-    if nb:
-        parts.append(out_b.reshape(B // SUB, nb, OUT_CAP))
-    if nc:
-        parts.append(out_c.reshape(B // SUB, nc, OUT_CAP))
-    out = jnp.concatenate(parts, axis=1).reshape(B, OUT_CAP)
+    out = out_rows.reshape(B, OUT_CAP)
     j = jnp.arange(OUT_CAP, dtype=I32)[None, :]
     out = jnp.where(j < comp_lens[:, None], out, 0).astype(jnp.uint8)
-    return out, comp_lens, ok, steps
+    return out, comp_lens, ok, steps, meta[:, 3], meta[:, 4]
 
 
 def encode(data, lengths, with_steps: bool = False):
@@ -467,10 +446,9 @@ def encode(data, lengths, with_steps: bool = False):
         lengths = jnp.concatenate(
             [lengths, jnp.zeros((pad_b,), lengths.dtype)])
     interpret = jax.default_backend() != "tpu"
-    out, comp_lens, ok, steps = _encode_impl(data, lengths, interpret)
+    out, comp_lens, ok, steps, nseen, ncmp = _encode_impl(
+        data, lengths, interpret)
     if pad_b:
-        out, comp_lens, ok, steps = (
-            out[:B], comp_lens[:B], ok[:B], steps[:B])
-    if with_steps:
-        return out, comp_lens, ok, steps
-    return out, comp_lens, ok
+        out, comp_lens, ok, nseen, ncmp = (
+            out[:B], comp_lens[:B], ok[:B], nseen[:B], ncmp[:B])
+    return out, comp_lens, ok, nseen, ncmp

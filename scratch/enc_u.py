@@ -34,6 +34,9 @@ import os
 SUB = int(os.environ.get("ENC_SUB", "8"))
 ENC_G = int(os.environ.get("ENC_G", "1"))  # interleaved groups per grid step
 SUBT = SUB * ENC_G  # chunks per grid step
+SPLIT_W = int(os.environ.get("SPLIT_W", "6"))  # chunks per scratch/out ref
+N_SPLIT = (SUBT + SPLIT_W - 1) // SPLIT_W
+SPLIT_SIZES = [min(SPLIT_W, SUBT - i * SPLIT_W) for i in range(N_SPLIT)]
 MAX_IN = 65536
 IN_ROWS = MAX_IN // LANES  # 512
 HASH_LOG = 14
@@ -53,7 +56,19 @@ def _srl(x, n):
     return jax.lax.shift_right_logical(x, n)
 
 
-def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
+def _encode_kernel(lens_ref, in_ref, *refs):
+    out_refs = refs[:N_SPLIT]
+    meta_ref = refs[N_SPLIT]
+    tab_refs = refs[N_SPLIT + 1:]
+
+    def tab(r):
+        # r5 minimal-repro discipline (scratch/mosaic_scr16_repro.py):
+        # too many dynamic stores to one scratch/output ref per body
+        # corrupt subsequent dynamic loads at 16 sublanes
+        return (tab_refs[r // SPLIT_W], r % SPLIT_W)
+
+    def outr(r):
+        return (out_refs[r // SPLIT_W], r % SPLIT_W)
     g = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(I32, (SUB, LANES), 1)
     zero = jnp.zeros((SUB, LANES), I32)
@@ -62,7 +77,8 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
                         for r in range(SUB)]).reshape(SUB, 1))
         for gi in range(ENC_G)]
 
-    tab_ref[:, :] = jnp.full((SUBT * TAB_ROWS, LANES), -1, I32)
+    for k, sz in enumerate(SPLIT_SIZES):
+        tab_refs[k][:, :] = jnp.full((sz * TAB_ROWS, LANES), -1, I32)
 
     def gather2(row_a, row_b, idx):
         m = idx & 127
@@ -174,12 +190,13 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
         ins = jnp.where(cpy_done, mend - 1, ip)
         cands = []
         for r in range(SUB):
+            tr, rr = tab(cb + r)
             trow = jnp.clip(h[r, 0] >> 7, 0, TAB_ROWS - 1)
-            row = tab_ref[pl.ds((cb + r) * TAB_ROWS + trow, 1), :]
+            row = tr[pl.ds(rr * TAB_ROWS + trow, 1), :]
             cands.append(row)
             hl = h[r, 0] & 127
             lv = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
-            tab_ref[pl.ds((cb + r) * TAB_ROWS + trow, 1), :] = jnp.where(
+            tr[pl.ds(rr * TAB_ROWS + trow, 1), :] = jnp.where(
                 jnp.logical_and(lv == hl, upd[r, 0] > 0), ins[r, 0], row)
         C = jnp.concatenate(cands, axis=0)
         cand_v = jnp.take_along_axis(
@@ -298,8 +315,9 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
         n_op = op + take
         crossed = ((n_op & 127) == 0) & (take > 0)
         for r in range(SUB):
-            out_ref[pl.ds(
-                (cb + r) * OUT_ROWS
+            orf, rr = outr(cb + r)
+            orf[pl.ds(
+                rr * OUT_ROWS
                 + jnp.minimum(op[r, 0] >> 7, OUT_ROWS - 1),
                 1), :] = n_tile[r : r + 1, :]
         n_tile = jnp.where(crossed, zero, n_tile)
@@ -341,8 +359,9 @@ def _encode_kernel(lens_ref, in_ref, out_ref, meta_ref, tab_ref):
         cb = gi * SUB
         op, err, tile = states[gi][2], states[gi][14], states[gi][15]
         for r in range(SUB):
-            out_ref[pl.ds(
-                (cb + r) * OUT_ROWS
+            orf, rr = outr(cb + r)
+            orf[pl.ds(
+                rr * OUT_ROWS
                 + jnp.minimum(op[r, 0] >> 7, OUT_ROWS - 1),
                 1), :] = tile[r : r + 1, :]
         ok = err == 0
@@ -358,7 +377,7 @@ def _encode_impl(data, lengths, interpret: bool):
     B, L = data.shape
     rows = data.astype(I32).reshape(B * (L // LANES), LANES)
     G = B // SUBT
-    out_rows, meta = pl.pallas_call(
+    outs_meta = pl.pallas_call(
         _encode_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -367,26 +386,30 @@ def _encode_impl(data, lengths, interpret: bool):
                 pl.BlockSpec((SUBT * IN_ROWS, LANES), lambda g, *_: (g, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=(
-                pl.BlockSpec((SUBT * OUT_ROWS, LANES), lambda g, *_: (g, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((SUBT, LANES), lambda g, *_: (g, 0),
-                             memory_space=pltpu.VMEM),
-            ),
-            scratch_shapes=[pltpu.VMEM((SUBT * TAB_ROWS, LANES), I32)],
+            out_specs=tuple(
+                [pl.BlockSpec((sz * OUT_ROWS, LANES), lambda g, *_: (g, 0),
+                              memory_space=pltpu.VMEM)
+                 for sz in SPLIT_SIZES]
+                + [pl.BlockSpec((SUBT, LANES), lambda g, *_: (g, 0),
+                                memory_space=pltpu.VMEM)]),
+            scratch_shapes=[pltpu.VMEM((sz * TAB_ROWS, LANES), I32)
+                            for sz in SPLIT_SIZES],
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B * OUT_ROWS, LANES), I32),
-            jax.ShapeDtypeStruct((B, LANES), I32),
-        ),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((B // SUBT * sz * OUT_ROWS, LANES), I32)
+             for sz in SPLIT_SIZES]
+            + [jax.ShapeDtypeStruct((B, LANES), I32)]),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
     )(lengths.astype(I32), rows)
+    *out_parts, meta = outs_meta
     comp_lens = meta[:, 0]
     ok = meta[:, 1] > 0
     steps = meta[:, 2]
-    out = out_rows.reshape(B, OUT_CAP)
+    parts = [p.reshape(B // SUBT, sz, OUT_CAP)
+             for p, sz in zip(out_parts, SPLIT_SIZES)]
+    out = jnp.concatenate(parts, axis=1).reshape(B, OUT_CAP)
     j = jnp.arange(OUT_CAP, dtype=I32)[None, :]
     out = jnp.where(j < comp_lens[:, None], out, 0).astype(jnp.uint8)
     return out, comp_lens, ok, steps

@@ -25,6 +25,15 @@ the matcher's candidate loads return garbage, so matches never verify
 (the kernels' 4-byte check catches it and emits literals — which is why
 hardware output stayed VALID but unmatched/bloated).
 
+Follow-up (second channel, still open): with <= 6-stores-per-ref splits
+applied to the full encode kernel, the matcher revives at SUB=16 but
+literal CONTENT corrupts deterministically for ALL sublanes (identical
+sizes on repeat runs; period-8-duplicated inputs produce identical
+per-half sizes yet every chunk still fails oracle decode — so it is not
+sublane mirroring). The residual channel is in the drain/emission path
+and survives every source-level restructuring (both gather2-style and
+take_along_axis drains corrupt). Production kernels stay at 8 sublanes.
+
 Canonical run: ENC_SUB=16 python scratch/mosaic_scr16_repro.py
 """
 import os

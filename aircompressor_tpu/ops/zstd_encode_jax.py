@@ -38,13 +38,12 @@ non-4-stream literal layouts fall back to the host tier per chunk.
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import numpy as np
 
 from ..zstd import block_enc
 from ..zstd import constants as C
-from ..zstd import frame_enc, fse_enc, huff_enc, seq_enc
+from ..zstd import frame_enc, huff_enc, seq_enc
 from ..zstd.params import compute as _params
 
 LANES = 128

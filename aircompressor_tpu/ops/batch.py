@@ -19,6 +19,29 @@ from ..errors import MalformedInputException
 
 CHUNK = 65536
 _COMP_ALIGN = 1024
+# Blobs above this decode on the HOST tier: the decode megakernels' VMEM
+# geometry scales with the batch's max compressed length, and
+# incompressible ~64KB chunks (blob >= input, e.g. jpg/pdf content) push
+# the unified [input|output] window past the scoped-vmem budget (caught
+# by the r5 full-corpus soak, scratch/soak_full_corpus.py). The framed
+# formats never produce such blobs (they STORE incompressible chunks),
+# but the batch API accepts arbitrary block-codec output.
+_KERNEL_COMP_CAP = 45056
+
+
+def _host_decode_oversized(blobs, res, decomp, max_chunk):
+    """Decode blobs over _KERNEL_COMP_CAP on the host tier into res;
+    returns the indices left for the kernel path."""
+    small = []
+    for i, b in enumerate(blobs):
+        if len(b) <= _KERNEL_COMP_CAP:
+            small.append(i)
+            continue
+        try:
+            res[i] = bytes(decomp.decompress(b, max_chunk))
+        except MalformedInputException as e:
+            raise MalformedInputException(i, e.reason) from e
+    return small
 
 
 _KERNEL_OK: dict = {}  # codec -> megakernel passed its one-time canary
@@ -179,24 +202,31 @@ class SnappyBatchCodec:
     def decompress_chunks(self, blobs: Sequence[bytes]) -> list[bytes]:
         import jax.numpy as jnp
 
+        from ..snappy import SnappyDecompressor
+
         if not blobs:
             return []
-        order = _steps_order(blobs)
-        cap = _round_up(max(len(b) for b in blobs) + 1, _COMP_ALIGN)
-        buf, lens = _pack([blobs[i] for i in order], cap)
-        out, olens, ok = _snappy_decode()(
-            jnp.asarray(buf), jnp.asarray(lens), out_cap=self.max_chunk
-        )
-        out = np.asarray(out)
-        olens = np.asarray(olens)
-        ok = np.asarray(ok)
-        bad = np.nonzero(~ok)[0]
-        if bad.size:
-            raise MalformedInputException(
-                int(order[bad[0]]), "malformed snappy chunk in batch")
-        res: list[bytes] = [b""] * len(blobs)
-        for row, i in enumerate(order):
-            res[i] = out[row, : olens[row]].tobytes()
+        res: list = [None] * len(blobs)
+        small = _host_decode_oversized(
+            blobs, res, SnappyDecompressor.create(), self.max_chunk)
+        if small:
+            sb = [blobs[i] for i in small]
+            order = _steps_order(sb)
+            cap = _round_up(max(len(b) for b in sb) + 1, _COMP_ALIGN)
+            buf, lens = _pack([sb[i] for i in order], cap)
+            out, olens, ok = _snappy_decode()(
+                jnp.asarray(buf), jnp.asarray(lens), out_cap=self.max_chunk
+            )
+            out = np.asarray(out)
+            olens = np.asarray(olens)
+            ok = np.asarray(ok)
+            bad = np.nonzero(~ok)[0]
+            if bad.size:
+                raise MalformedInputException(
+                    small[int(order[bad[0]])],
+                    "malformed snappy chunk in batch")
+            for row, i in enumerate(order):
+                res[small[i]] = out[row, : olens[row]].tobytes()
         return res
 
 
@@ -275,22 +305,28 @@ class Lz4BatchCodec:
 
         if not blobs:
             return []
-        order = _steps_order(blobs)
-        cap = _round_up(max(len(b) for b in blobs) + 1, _COMP_ALIGN)
-        buf, lens = _pack([blobs[i] for i in order], cap)
-        out, olens, ok = lz4_jax.decode(
-            jnp.asarray(buf), jnp.asarray(lens), out_cap=self.max_chunk
-        )
-        out = np.asarray(out)
-        olens = np.asarray(olens)
-        ok = np.asarray(ok)
-        bad = np.nonzero(~ok)[0]
-        if bad.size:
-            raise MalformedInputException(
-                int(order[bad[0]]), "malformed lz4 chunk in batch")
-        res: list[bytes] = [b""] * len(blobs)
-        for row, i in enumerate(order):
-            res[i] = out[row, : olens[row]].tobytes()
+        from ..lz4 import Lz4Decompressor
+
+        res: list = [None] * len(blobs)
+        small = _host_decode_oversized(
+            blobs, res, Lz4Decompressor.create(), self.max_chunk)
+        if small:
+            sb = [blobs[i] for i in small]
+            order = _steps_order(sb)
+            cap = _round_up(max(len(b) for b in sb) + 1, _COMP_ALIGN)
+            buf, lens = _pack([sb[i] for i in order], cap)
+            out, olens, ok = lz4_jax.decode(
+                jnp.asarray(buf), jnp.asarray(lens), out_cap=self.max_chunk
+            )
+            out = np.asarray(out)
+            olens = np.asarray(olens)
+            ok = np.asarray(ok)
+            bad = np.nonzero(~ok)[0]
+            if bad.size:
+                raise MalformedInputException(
+                    small[int(order[bad[0]])], "malformed lz4 chunk in batch")
+            for row, i in enumerate(order):
+                res[small[i]] = out[row, : olens[row]].tobytes()
         return res
 
 
@@ -332,9 +368,15 @@ class LzoBatchCodec:
             return [bytes(d.decompress(b, self.max_chunk)) for b in blobs]
         from . import lzo_pallas_w
 
-        order = _steps_order(blobs)
-        cap = _round_up(max(len(b) for b in blobs) + 1, _COMP_ALIGN)
-        buf, lens = _pack([blobs[i] for i in order], cap)
+        res: list = [None] * len(blobs)
+        small = _host_decode_oversized(
+            blobs, res, LzoDecompressor.create(), self.max_chunk)
+        if not small:
+            return res
+        sb = [blobs[i] for i in small]
+        order = _steps_order(sb)
+        cap = _round_up(max(len(b) for b in sb) + 1, _COMP_ALIGN)
+        buf, lens = _pack([sb[i] for i in order], cap)
         out, olens, ok = lzo_pallas_w.decode(
             jnp.asarray(buf), jnp.asarray(lens), out_cap=self.max_chunk)
         out = np.asarray(out)
@@ -343,10 +385,9 @@ class LzoBatchCodec:
         bad = np.nonzero(~ok)[0]
         if bad.size:
             raise MalformedInputException(
-                int(order[bad[0]]), "malformed lzo chunk in batch")
-        res: list[bytes] = [b""] * len(blobs)
+                small[int(order[bad[0]])], "malformed lzo chunk in batch")
         for row, i in enumerate(order):
-            res[i] = out[row, : olens[row]].tobytes()
+            res[small[i]] = out[row, : olens[row]].tobytes()
         return res
 
 

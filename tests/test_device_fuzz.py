@@ -189,3 +189,29 @@ def test_selfcheck_payload_is_genuinely_mixed():
     # head: printable text (compressible)
     head = p[:-8192]
     assert head.size > 40000 and head.max() < 127 and head.min() >= 32
+
+
+def test_batch_decode_oversized_blobs_fall_back_to_host():
+    """Incompressible ~64KB chunks produce blobs LARGER than the decode
+    megakernels' VMEM geometry can batch (r5 full-corpus soak finding:
+    scoped-vmem OOM at compile); the batch API must route them to the
+    host tier instead of crashing — mixed batches stay exact."""
+    import numpy as np
+
+    from aircompressor_tpu.ops.batch import (
+        _KERNEL_COMP_CAP,
+        Lz4BatchCodec,
+        LzoBatchCodec,
+        SnappyBatchCodec,
+    )
+
+    rng = np.random.default_rng(77)
+    incompressible = rng.integers(0, 256, 65536, dtype=np.uint8).tobytes()
+    text = (b"the quick brown fox jumps over the lazy dog " * 1490)[:65536]
+    chunks = [incompressible, text, incompressible[:30000], text[:10000]]
+    for cls in (SnappyBatchCodec, Lz4BatchCodec, LzoBatchCodec):
+        codec = cls()
+        blobs = codec.compress_chunks(chunks)
+        assert max(len(b) for b in blobs) > _KERNEL_COMP_CAP, (
+            cls.__name__, "test premise: an oversized blob must exist")
+        assert codec.decompress_chunks(blobs) == chunks, cls.__name__

@@ -65,6 +65,11 @@ def _declare(lib: ctypes.CDLL) -> None:
         fn = getattr(lib, name)
         fn.restype = ctypes.c_int64
         fn.argtypes = [u8p, ctypes.c_size_t, u8p, ctypes.c_size_t]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.actpu_inflate_plan_batch.restype = None
+    lib.actpu_inflate_plan_batch.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, i32p,
+        ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p]
 
 
 def is_enabled() -> bool:

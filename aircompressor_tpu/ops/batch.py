@@ -391,6 +391,124 @@ class LzoBatchCodec:
         return res
 
 
+class DeflateBatchCodec:
+    """Chunk-parallel raw-deflate decode on the device (single-launch
+    Pallas megakernel, ops/deflate_pallas_w) — the TPU analogue of the
+    reference's libdeflate binding (deflate/DeflateNative.java:28-40).
+    Planning (block boundaries + Huffman LUT pages) runs in the native
+    C++ planner (native/src/inflate.cc); the kernel re-derives every
+    output byte from the raw bitstream. Compression uses the host tier
+    per chunk. Chunks the planner cannot map to the kernel's static
+    geometry (>16 blocks, oversized table pages, oversized blobs) decode
+    on the host tier; malformed streams surface the host tier's
+    exception contract."""
+
+    def __init__(self, max_chunk: int = CHUNK, level: int = 6):
+        if max_chunk > CHUNK:
+            raise ValueError("deflate batch chunks are capped at 64KB")
+        self.max_chunk = max_chunk
+        self.level = level
+
+    def compress_chunks(self, chunks: Sequence[bytes]) -> list[bytes]:
+        from ..deflate import DeflateCompressor, max_compressed_length
+
+        comp = DeflateCompressor.create(self.level)
+        out = []
+        for c in chunks:
+            dst = np.zeros(max_compressed_length(len(c)), np.uint8)
+            n = comp.compress_into(np.frombuffer(c, np.uint8), dst)
+            out.append(dst[:n].tobytes())
+        return out
+
+    @staticmethod
+    def _kernel_ok() -> bool:
+        ok = _KERNEL_OK.get("deflate")
+        if ok is None:
+            import jax.numpy as jnp
+            import zlib
+
+            try:
+                from ..deflate import device_prep
+                from . import deflate_pallas_w
+
+                payload = _selfcheck_payload()
+                co = zlib.compressobj(6, zlib.DEFLATED, -15)
+                blob = co.compress(payload) + co.flush()
+                buf, lens = _pack([blob], _round_up(len(blob) + 1, _COMP_ALIGN))
+                desc, tabs, info = device_prep.plan_batch(buf, lens)
+                pages, _ = device_prep.pack_pages(desc, tabs, info)
+                ok = bool(info[0, 3] == device_prep.ST_OK)
+                if ok:
+                    out, olens, okv = deflate_pallas_w.decode(
+                        jnp.asarray(buf), jnp.asarray(lens), pages)
+                    ok = bool(np.asarray(okv)[0]) and (
+                        np.asarray(out)[0, : int(np.asarray(olens)[0])]
+                        .tobytes() == payload)
+            except Exception:  # noqa: BLE001
+                ok = False
+            _KERNEL_OK["deflate"] = ok
+        return ok
+
+    def decompress_chunks(self, blobs: Sequence[bytes]) -> list[bytes]:
+        import jax
+
+        from ..deflate import DeflateDecompressor
+
+        if not blobs:
+            return []
+        use_kernel = (jax.default_backend() == "tpu"
+                      and self._kernel_ok())
+        d = DeflateDecompressor.create()
+
+        def host_one(i: int, b: bytes) -> bytes:
+            dst = np.zeros(self.max_chunk, np.uint8)
+            try:
+                n = d.decompress_into(np.frombuffer(b, np.uint8), dst)
+            except MalformedInputException as e:
+                raise MalformedInputException(i, e.reason) from e
+            return dst[:n].tobytes()
+
+        if not use_kernel:
+            return [host_one(i, b) for i, b in enumerate(blobs)]
+
+        import jax.numpy as jnp
+
+        from ..deflate import device_prep
+        from . import deflate_pallas_w
+
+        res: list = [None] * len(blobs)
+        small = [i for i, b in enumerate(blobs)
+                 if len(b) <= _KERNEL_COMP_CAP]
+        for i, b in enumerate(blobs):
+            if len(b) > _KERNEL_COMP_CAP:
+                res[i] = host_one(i, b)
+        if small:
+            sb = [blobs[i] for i in small]
+            order = _steps_order(sb)
+            cap = _round_up(max(len(b) for b in sb) + 1, _COMP_ALIGN)
+            buf, lens = _pack([sb[i] for i in order], cap)
+            desc, tabs, info = device_prep.plan_batch(buf, lens)
+            elig = info[:, 3] == device_prep.ST_OK
+            pages, _ = device_prep.pack_pages(desc, tabs, info)
+            out, olens, ok = deflate_pallas_w.decode(
+                jnp.asarray(buf), jnp.asarray(lens), pages,
+                out_cap=self.max_chunk)
+            out = np.asarray(out)
+            olens = np.asarray(olens)
+            ok = np.asarray(ok)
+            for row, i in enumerate(order):
+                if not elig[row]:
+                    # planner fallback OR malformed: host tier decides
+                    # (raises the exception contract for malformed)
+                    res[small[i]] = host_one(small[i], sb[i])
+                    continue
+                if not ok[row] or olens[row] != info[row, 0]:
+                    raise MalformedInputException(
+                        small[int(i)], "malformed deflate chunk in batch")
+                res[small[i]] = out[row, : olens[row]].tobytes()
+        return res
+
+
 class ZstdBatchCodec:
     """Frame-parallel Zstd on the device. Decode: three single-launch Pallas
     kernels (Huffman literals, FSE sequences, sequence execution —

@@ -439,6 +439,17 @@ _PAD_DESC[4] = 4  # stored data starts after the 4 header bytes
 _PAD_DESC[6] = 1  # final
 
 
+def decode_staged(comp, comp_lens, pages):
+    """Sustained-protocol entry: `comp` (B, Lc) / `pages` (B, TR*128) may
+    already live on device; B must be a SUB multiple and Lc must carry
+    >=1024 bytes of zero slack past every chunk (the bench's staging
+    contract — avoids the host round-trip decode() pays for padding)."""
+    B, Lc = comp.shape
+    assert B % SUB == 0 and Lc % LANES == 0
+    interpret = jax.default_backend() != "tpu"
+    return _decode_impl(comp, comp_lens, pages, interpret)
+
+
 def decode(comp, comp_lens, pages, out_cap: int = MAX_OUT,
            with_steps: bool = False):
     """Decode B raw-deflate chunks (<=64KB decompressed each) with their

@@ -270,6 +270,62 @@ def device_benchmarks(data: bytes, detail: dict) -> None:
         detail[f"{name}_decode_device_offload_GBps"] = raw_bytes / dt / 1e9
         del d, l
 
+    # --- deflate device decode: native planner + single-launch megakernel
+    # (the TPU analogue of the reference's libdeflate binding,
+    # deflate/DeflateNative.java:28-40). Same sustained to-HBM protocol as
+    # the rows above; host planning (block boundaries + Huffman LUT pages,
+    # native/src/inflate.cc) is reported separately like zstd's.
+    try:
+        import zlib
+
+        from aircompressor_tpu.deflate import device_prep as dfl_prep
+        from aircompressor_tpu.ops import deflate_pallas_w
+
+        _stage("decode deflate: compressing batch")
+        pairs = []
+        for c in all_chunks:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            b = co.compress(c) + co.flush()
+            if len(b) <= COMP_CAP:
+                pairs.append((c, b))
+            if len(pairs) == DECODE_BATCH:
+                break
+        pairs.sort(key=lambda p: len(p[1]))
+        cap = COMP_CAP + 1024
+        buf, lens = _pack([b for _, b in pairs], cap)
+        t0 = time.perf_counter()
+        desc, tabs, info = dfl_prep.plan_batch(buf, lens)
+        detail["deflate_host_plan_ms_per_chunk"] = round(
+            (time.perf_counter() - t0) / len(pairs) * 1e3, 3)
+        assert (info[:, 3] == dfl_prep.ST_OK).all(), "planner fallback in corpus"
+        pages, _ = dfl_prep.pack_pages(desc, tabs, info)
+        B = len(pairs) * SUSTAIN
+        raw_bytes = sum(len(c) for c, _ in pairs) * SUSTAIN
+        detail["deflate_device_batch_chunks"] = B
+        d = jnp.tile(jnp.asarray(buf), (SUSTAIN, 1))
+        l = jnp.tile(jnp.asarray(lens), SUSTAIN)
+        p = jnp.tile(jnp.asarray(pages), (SUSTAIN, 1))
+        pairs = pairs * SUSTAIN
+        _stage("decode deflate: compiling kernel")
+        out, olens, ok, _steps = deflate_pallas_w.decode_staged(d, l, p)
+        out_np, olens_np = np.asarray(out), np.asarray(olens)
+        assert bool(np.asarray(ok).all()), "deflate device decode failed"
+        for i in (0, B // 2, B - 1):
+            assert out_np[i, : olens_np[i]].tobytes() == pairs[i][0]
+        del out, out_np
+
+        def run_dfl():
+            r = deflate_pallas_w.decode_staged(d, l, p)
+            np.asarray(r[1])
+            np.asarray(r[2])
+
+        _stage("decode deflate: timing meta")
+        dt = gated_best(run_dfl)
+        detail["deflate_decode_device_GBps"] = raw_bytes / dt / 1e9
+        del d, l, p
+    except Exception as e:  # noqa: BLE001
+        detail["deflate_decode_device_error"] = str(e)[:300]
+
     # --- zstd device decode: full batch-codec path (host planning + three
     # kernels + readback), libzstd-3 frames
     try:
@@ -515,6 +571,32 @@ def host_baselines(data: bytes, detail: dict) -> None:
 
         detail["zstd_encode_libzstd_GBps"] = n / best_of(run_c, trials=3, inner=1) / 1e9
 
+    # libdeflate = the library the reference's deflate native tier binds
+    # (deflate/DeflateNative.java:28-40); baseline for the deflate device
+    # decode row. Loaded via the same system binding the native tier uses.
+    try:
+        from aircompressor_tpu.native import deflate_binding
+
+        if deflate_binding.is_enabled():
+            src = np.frombuffer(data, np.uint8)
+            comp_buf = np.zeros(n + n // 8 + 64, np.uint8)
+            m = deflate_binding.compress(src, comp_buf, 6)
+            comp_arr = comp_buf[:m].copy()
+            dec_buf = np.zeros(n, np.uint8)
+
+            def run():
+                deflate_binding.decompress(comp_arr, dec_buf)
+
+            detail["deflate_decode_libdeflate_GBps"] = n / best_of(run) / 1e9
+
+            def run_c():
+                deflate_binding.compress(src, comp_buf, 6)
+
+            detail["deflate_encode_libdeflate_GBps"] = (
+                n / best_of(run_c, inner=1) / 1e9)
+    except Exception as e:  # noqa: BLE001
+        detail["deflate_baseline_error"] = str(e)[:200]
+
     xxh = lib("libxxhash.so")
     if xxh:
         xxh.XXH64.restype = ctypes.c_uint64
@@ -627,6 +709,7 @@ _PINNABLE = [
     "lzo_decode_liblzo2_GBps", "lzo_encode_liblzo2_GBps",
     "zstd_decode_libzstd_GBps", "zstd_encode_libzstd_GBps",
     "xxh64_libxxhash_GBps",
+    "deflate_decode_libdeflate_GBps", "deflate_encode_libdeflate_GBps",
 ]
 
 
@@ -694,7 +777,8 @@ def main() -> None:
     for codec, base_row in (("snappy", "snappy_decode_libsnappy_GBps"),
                             ("lz4", "lz4_decode_liblz4_GBps"),
                             ("lzo", "lzo_decode_liblzo2_GBps"),
-                            ("zstd", "zstd_decode_libzstd_GBps")):
+                            ("zstd", "zstd_decode_libzstd_GBps"),
+                            ("deflate", "deflate_decode_libdeflate_GBps")):
         ours = detail.get(f"{codec}_decode_device_GBps")
         base = detail.get(base_row)
         if ours and base:

@@ -21,9 +21,11 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+from aircompressor_tpu.deflate import DeflateCompressor, DeflateDecompressor
 from aircompressor_tpu.lz4 import Lz4Compressor, Lz4Decompressor
 from aircompressor_tpu.lzo import LzoCompressor, LzoDecompressor
 from aircompressor_tpu.ops.batch import (
+    DeflateBatchCodec,
     Lz4BatchCodec,
     LzoBatchCodec,
     SnappyBatchCodec,
@@ -115,6 +117,12 @@ def oracle_ok(name, blob, want):
         dec = ctypes.create_string_buffer(max(len(want), 1))
         m = l4.LZ4_decompress_safe(blob, dec, len(blob), len(want))
         return m == len(want) and dec.raw[: len(want)] == want
+    if name == "deflate":
+        import zlib
+        try:
+            return zlib.decompress(blob, -15, max(len(want), 1)) == want
+        except zlib.error:
+            return False
     if name == "zstd" and zs and want:
         dec = ctypes.create_string_buffer(len(want))
         m = zs.ZSTD_decompress(dec, len(want), blob, len(blob))
@@ -132,6 +140,8 @@ def main():
          LzoDecompressor.create()),
         ("zstd", ZstdBatchCodec(), ZstdCompressor.create(),
          ZstdDecompressor.create()),
+        ("deflate", DeflateBatchCodec(), DeflateCompressor.create(6),
+         DeflateDecompressor.create()),
     ]
     t0 = time.time()
     it = 0

@@ -42,12 +42,13 @@ def _structured_inputs(seed: int, n: int, max_len: int = 65536):
     return out
 
 
-@pytest.mark.parametrize("codec", ["snappy", "lz4", "lzo"])
+@pytest.mark.parametrize("codec", ["snappy", "lz4", "lzo", "deflate"])
 def test_device_decode_structured_fuzz(codec):
     from aircompressor_tpu.ops import batch
 
     cls = {"snappy": batch.SnappyBatchCodec, "lz4": batch.Lz4BatchCodec,
-           "lzo": batch.LzoBatchCodec}[codec]
+           "lzo": batch.LzoBatchCodec,
+           "deflate": batch.DeflateBatchCodec}[codec]
     c = cls()
     raws = _structured_inputs(seed=hash(codec) % 1000, n=24)
     blobs = c.compress_chunks(raws)
@@ -65,7 +66,8 @@ def test_zstd_device_decode_structured_fuzz():
     assert outs == raws
 
 
-@pytest.mark.parametrize("codec", ["snappy", "lz4", "lzo", "zstd"])
+@pytest.mark.parametrize("codec", ["snappy", "lz4", "lzo", "zstd",
+                                   "deflate"])
 def test_device_decode_mutation_fuzz(codec):
     """Single-byte corruptions: the batch decode must raise, or (for
     positions that keep the stream well-formed, e.g. inside literal
@@ -74,14 +76,20 @@ def test_device_decode_mutation_fuzz(codec):
     from aircompressor_tpu.ops import batch
 
     cls = {"snappy": batch.SnappyBatchCodec, "lz4": batch.Lz4BatchCodec,
-           "lzo": batch.LzoBatchCodec, "zstd": batch.ZstdBatchCodec}[codec]
+           "lzo": batch.LzoBatchCodec, "zstd": batch.ZstdBatchCodec,
+           "deflate": batch.DeflateBatchCodec}[codec]
     c = cls()
     raw = _structured_inputs(seed=5, n=1, max_len=30000)[0]
     blob = bytearray(c.compress_chunks([raw])[0])
     rng = np.random.default_rng(9)
     flagged = 0
-    for _ in range(12):
-        i = int(rng.integers(0, len(blob)))
+    # the first bytes are stream/block headers in every format here —
+    # flips there must be detectable even for checksum-less wire formats
+    # (raw deflate: a random flip inside Huffman payload often yields a
+    # valid-but-different stream, which the out != raw branch covers)
+    positions = [0, 1, 2, 3] + [int(rng.integers(0, len(blob)))
+                                for _ in range(12)]
+    for i in positions:
         mut = bytes(blob[:i]) + bytes([blob[i] ^ 0x5A]) + bytes(blob[i + 1:])
         try:
             out = c.decompress_chunks([mut])[0]
